@@ -1,0 +1,290 @@
+"""CNLinear: linearized Crank-Nicolson NS time stepping.
+
+TPU-native re-design of NSCNLINEAR (reference: fluca/src/ns/impl/
+linearcn/cnlinear.c + cnlinearcart2d.c:1933-2171 drivers) together
+with the ABF preconditioner (fluca/src/ns/utils/abfpc/abfpc.c).
+
+One time step solves the coupled 3x3 saddle system (THEORY_GUIDE
+eq. 13)
+
+    [ A   0   G  ] [ v  ]   [ momrhs    ]
+    [ -T  I  -R  ] [ U  ] = [ interprhs ]
+    [ 0   D   0  ] [ p' ]   [ 0         ]
+
+with flexible GMRES to rtol 1e-5 on the unpreconditioned residual
+(reference nssol.c:22-25), preconditioned by the (LD)U approximate
+block factorization with Atilde = I (the fractional-step limit,
+THEORY_GUIDE.md:318-349):
+
+    v* = kspA^-1 momrhs            (BiCGStab + Jacobi)
+    U* = interprhs + T v*
+    p  = kspS^-1 (contrhs - D U*)  (CG + geometric multigrid on -D Gst)
+    v  = v* - G p,   U = U* - Gst p     (abfpc.c:48-111)
+
+then updates the pressure by extrapolation (cnlinearcart2d.c:1969-1980):
+    step 0: p <- p0 + 2 dp,     phalf <- p0 + dp
+    else  : p <- phalf + 1.5 dp, phalf <- phalf + dp
+
+Because the scheme is linear for constant viscosity, the reference's
+SNES-Picard wrapper converges in a single linear solve; the linear
+solve IS the step.
+
+The whole step compiles into one XLA program; the time loop runs on
+host with donated state buffers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from fluca_tpu.mesh.cart import CartMesh
+from fluca_tpu.ns.operators import NSOperators
+from fluca_tpu.solvers.krylov import (
+    bicgstab,
+    cg,
+    fgmres,
+    tree_add,
+    tree_sub,
+)
+from fluca_tpu.solvers.mg import PoissonMG
+from fluca_tpu.utils import config
+
+
+@dataclass
+class CNLinearConfig:
+    rtol: float = 1e-5          # outer coupled FGMRES (nssol.c:22-25)
+    restart: int = 30
+    maxiter: int = 200
+    mom_rtol: float = 1e-5      # kspA (abf_momentum_)
+    mom_maxiter: int = 100
+    schur_rtol: float = 1e-5    # kspS (abf_schur_)
+    schur_maxiter: int = 200
+    mg_levels: bool = True
+
+    @classmethod
+    def from_options(cls, opts, prefix="ns_"):
+        o = opts.sub(prefix)
+        return cls(
+            rtol=o.get_real("ksp_rtol", 1e-5),
+            restart=o.get_int("ksp_gmres_restart", 30),
+            maxiter=o.get_int("ksp_max_it", 200),
+            mom_rtol=o.get_real("abf_momentum_ksp_rtol", 1e-5),
+            mom_maxiter=o.get_int("abf_momentum_ksp_max_it", 100),
+            schur_rtol=o.get_real("abf_schur_ksp_rtol", 1e-5),
+            schur_maxiter=o.get_int("abf_schur_ksp_max_it", 200),
+        )
+
+
+class CNLinearSolver:
+    def __init__(
+        self,
+        mesh: CartMesh,
+        bcs,
+        rho: float,
+        mu: float,
+        dt: float,
+        cfg: CNLinearConfig | None = None,
+        dtype=None,
+    ):
+        dtype = dtype or config.default_dtype()
+        self.dtype = dtype
+        self.cfg = cfg or CNLinearConfig()
+        self.ops = NSOperators(mesh, bcs, rho, mu, dt, dtype)
+        self.mesh = mesh
+        self.dt = float(dt)
+        self.rho = float(rho)
+        self.mu = float(mu)
+        # multigrid hierarchy for Shat = vol .* (-D Gst)
+        self.mg = PoissonMG(mesh, bcs, scale=dt / rho, dtype=dtype)
+        self.pin_pressure = not self.ops.has_pressure_outlet
+        self._step_jit = {}
+
+    # -- state ---------------------------------------------------------
+    def zero_state(self) -> dict:
+        return {
+            "v": self.mesh.zeros_cell_vector(self.dtype),
+            "U": self.mesh.zeros_face(self.dtype),
+            "p": self.mesh.zeros_cell(self.dtype),
+            "phalf": self.mesh.zeros_cell(self.dtype),
+        }
+
+    # -- coupled operator & preconditioner ----------------------------
+    def _coupled_apply(self, x, U0, v0f):
+        ops = self.ops
+        v, U, p = x["v"], x["U"], x["p"]
+        Av = ops.apply_A(v, U0, v0f)
+        Gp = ops.apply_G(p)
+        Tv = ops.apply_T(v)
+        Rp = ops.apply_R(p)
+        return {
+            "v": tuple(Av[c] + Gp[c] for c in range(ops.dim)),
+            "U": tuple(
+                U[d] - Tv[d] - Rp[d] for d in range(ops.dim)
+            ),
+            "p": ops.apply_D(U),
+        }
+
+    def _project_p(self, p):
+        """Remove the constant-pressure nullspace component (vol
+        weighted mean; reference attaches a constant nullspace to S,
+        abfpc.c:170-179)."""
+        if not self.pin_pressure:
+            return p
+        vol = self.mg.levels[0].vol
+        mean = jnp.sum(vol * p) / jnp.sum(vol)
+        return p - mean
+
+    def _solve_momentum(self, rhs_v, U0, v0f, diagA):
+        ops = self.ops
+        inv_diag = tuple(1.0 / d for d in diagA)
+
+        def A(v):
+            return ops.apply_A(v, U0, v0f)
+
+        def M(r):
+            return tuple(inv_diag[c] * r[c] for c in range(ops.dim))
+
+        res = bicgstab(
+            A, rhs_v, rtol=self.cfg.mom_rtol,
+            maxiter=self.cfg.mom_maxiter, M=M,
+        )
+        return res.x
+
+    def _solve_schur(self, rhs_p):
+        """Solve Shat p = vol .* rhs_p with CG + MG V-cycle."""
+        res = cg(
+            self.mg.apply_op,
+            self.mg.scale_rhs(rhs_p),
+            rtol=self.cfg.schur_rtol,
+            maxiter=self.cfg.schur_maxiter,
+            M=self.mg.precondition,
+            project=self._project_p if self.pin_pressure else None,
+        )
+        return res.x
+
+    def _abf_apply(self, r, U0, v0f, diagA):
+        """PCApply_ABF (abfpc.c:48-111) with Atilde1 = Atilde2 = I."""
+        ops = self.ops
+        vstar = self._solve_momentum(r["v"], U0, v0f, diagA)
+        Tv = ops.apply_T(vstar)
+        Ustar = tuple(r["U"][d] + Tv[d] for d in range(ops.dim))
+        # rhs for Schur: contrhs - D U*
+        rp = r["p"] - ops.apply_D(Ustar)
+        p = self._solve_schur(rp)
+        Gp = ops.apply_G(p)
+        Gstp = ops.apply_Gst(p)
+        v = tuple(vstar[c] - Gp[c] for c in range(ops.dim))
+        U = tuple(Ustar[d] - Gstp[d] for d in range(ops.dim))
+        return {"v": v, "U": U, "p": p}
+
+    # -- RHS (FormFunction; cnlinearcart2d.c:2071-2171) ----------------
+    def _form_rhs(self, sol0, phalf, t, is_first_step: bool):
+        ops = self.ops
+        dim = ops.dim
+        dt, rho, mu = self.dt, self.rho, self.mu
+        v0 = sol0["v"]
+        s_visc = 0.5 * mu * dt / rho
+        s_g = dt / rho
+
+        if is_first_step:
+            q, t_q = sol0["p"], t
+        else:
+            q, t_q = phalf, t - 0.5 * dt
+
+        Gq = ops.apply_G(q)
+        bcGq = ops.bc_G(t_q)
+        Lv0 = ops.apply_L(v0)
+        bcLt = ops.bc_L(t)
+        bcLt1 = ops.bc_L(t + dt)
+        bcC = ops.bc_C(t, t + dt)
+
+        momrhs = tuple(
+            v0[c]
+            + s_visc * (Lv0[c] + bcLt[c])
+            - dt * bcC[c]
+            - (Gq[c] + s_g * bcGq[c])
+            + s_visc * bcLt1[c]
+            for c in range(dim)
+        )
+
+        # interp rhs: bcT(t+dt) + (-T)[(dt/rho)(bcG(tq)-bcG(t+dt/2))]
+        #             + (dt/rho)(bcGst(tq)-bcGst(t+dt/2))
+        bcT1 = ops.bc_T(t + dt)
+        bcGp = ops.bc_G(t + 0.5 * dt)
+        bcGstp = ops.bc_Gst(t + 0.5 * dt)
+        bcGstq = ops.bc_Gst(t_q)
+        dG = tuple(s_g * (bcGq[c] - bcGp[c]) for c in range(dim))
+        TdG = ops.apply_T(dG)
+        interprhs = tuple(
+            bcT1[d] - TdG[d] + s_g * (bcGstq[d] - bcGstp[d])
+            for d in range(dim)
+        )
+
+        contrhs = jnp.zeros(self.mesh.cell_shape, self.dtype)
+        return {"v": momrhs, "U": interprhs, "p": contrhs}
+
+    # -- one time step -------------------------------------------------
+    def _step_impl(self, state, t, is_first_step: bool):
+        ops = self.ops
+        dim = ops.dim
+        sol0 = state
+        U0 = sol0["U"]
+
+        # v0interp = B v0 + bcB(t)   (cnlinearcart2d.c:1947-1957)
+        Bv0 = ops.apply_B(sol0["v"])
+        bcB = ops.bc_B(t)
+        v0f = tuple(
+            tuple(Bv0[d][c] + bcB[d][c] for c in range(dim))
+            for d in range(dim)
+        )
+
+        rhs = self._form_rhs(sol0, state["phalf"], t, is_first_step)
+        diagA = ops.diag_A(U0, v0f)
+
+        res = fgmres(
+            lambda x: self._coupled_apply(x, U0, v0f),
+            rhs,
+            rtol=self.cfg.rtol,
+            restart=self.cfg.restart,
+            maxiter=self.cfg.maxiter,
+            M=lambda r: self._abf_apply(r, U0, v0f, diagA),
+        )
+        x = res.x
+        dp = self._project_p(x["p"])
+
+        if is_first_step:
+            p_new = sol0["p"] + 2.0 * dp
+            phalf_new = sol0["p"] + dp
+        else:
+            p_new = state["phalf"] + 1.5 * dp
+            phalf_new = state["phalf"] + dp
+
+        new_state = {
+            "v": x["v"],
+            "U": x["U"],
+            "p": p_new,
+            "phalf": phalf_new,
+        }
+        diag = {
+            "ksp_iters": res.iters,
+            "ksp_rnorm": res.rnorm,
+            "converged": res.converged,
+        }
+        return new_state, diag
+
+    def step(self, state, t, step_index: int):
+        """Jitted single step; two compiled variants (first step uses
+        q = p0, later steps q = phalf)."""
+        is_first = step_index == 0
+        if is_first not in self._step_jit:
+            self._step_jit[is_first] = jax.jit(
+                partial(self._step_impl, is_first_step=is_first),
+                donate_argnums=(0,),
+            )
+        t = jnp.asarray(t, self.dtype)
+        return self._step_jit[is_first](state, t)

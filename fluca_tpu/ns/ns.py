@@ -1,0 +1,177 @@
+"""NS driver: time loop, monitors, converged reasons.
+
+Reference: fluca/src/ns/interface/nsbasic.c (NSSetUp/NSStep/NSSolve),
+nsmon.c (monitor chain), nsopts.c (options). The solver type registry
+currently contains the single implementation "cnlinear"
+(NSCNLINEAR), like the reference.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Callable, Optional
+
+import numpy as np
+
+from fluca_tpu.mesh.cart import CartMesh
+from fluca_tpu.ns.cnlinear import CNLinearConfig, CNLinearSolver
+from fluca_tpu.utils import config
+from fluca_tpu.utils.options import Options, global_options
+from fluca_tpu.utils.registry import Registry
+
+ns_registry = Registry("ns")
+ns_registry.register("cnlinear", CNLinearSolver)
+
+
+class NSConvergedReason(enum.Enum):
+    """Reference: flucans.h:13-19."""
+
+    ITERATING = 0
+    CONVERGED_TIME = 1
+    CONVERGED_ITS = 2
+    DIVERGED_NONLINEAR_SOLVE = -1
+
+
+class NS:
+    def __init__(
+        self,
+        mesh: CartMesh,
+        *,
+        rho: float = 1.0,
+        mu: float = 1.0,
+        dt: float = 1e-3,
+        max_steps: Optional[int] = None,
+        max_time: Optional[float] = None,
+        ns_type: str = "cnlinear",
+        bcs=None,
+        options: Optional[Options] = None,
+        dtype=None,
+        error_if_step_failed: bool = True,
+    ):
+        self.mesh = mesh
+        self.rho = float(rho)
+        self.mu = float(mu)
+        self.dt = float(dt)
+        self.max_steps = max_steps
+        self.max_time = max_time
+        self.ns_type = ns_type
+        self.bcs = list(bcs) if bcs is not None else [None] * (2 * mesh.dim)
+        self.options = options or global_options()
+        self.dtype = dtype or config.default_dtype()
+        self.error_if_step_failed = error_if_step_failed
+
+        self.step_index = 0
+        self.t = 0.0
+        self.reason = NSConvergedReason.ITERATING
+        self.monitors: list[Callable] = []
+        self.last_diag = None
+        self.impl: Optional[CNLinearSolver] = None
+        self.state = None
+
+    # -- setup ---------------------------------------------------------
+    def set_boundary_condition(self, boundary_index: int, bc) -> None:
+        """Reference: NSSetBoundaryCondition."""
+        self.bcs[int(boundary_index)] = bc
+
+    def set_from_options(self) -> None:
+        """Reference: NSSetFromOptions (nsopts.c:167-203)."""
+        o = self.options.sub("ns_")
+        self.rho = o.get_real("density", self.rho)
+        self.mu = o.get_real("viscosity", self.mu)
+        self.dt = o.get_real("time_step_size", self.dt)
+        if o.has("max_steps"):
+            self.max_steps = o.get_int("max_steps")
+        if o.has("max_time"):
+            self.max_time = o.get_real("max_time")
+        self.ns_type = o.get_str("type", self.ns_type)
+
+    def setup(self) -> None:
+        """Reference: NSSetUp (nsbasic.c:153-274)."""
+        if self.impl is not None:
+            return
+        assert all(b is not None for b in self.bcs), (
+            "all boundary conditions must be set before setup"
+        )
+        cfg = CNLinearConfig.from_options(self.options)
+        factory = ns_registry.get(self.ns_type)
+        self.impl = factory(
+            self.mesh, self.bcs, self.rho, self.mu, self.dt,
+            cfg=cfg, dtype=self.dtype,
+        )
+        if self.state is None:
+            self.state = self.impl.zero_state()
+
+    # -- solution access ----------------------------------------------
+    @property
+    def solution(self):
+        return self.state
+
+    def set_solution(self, v=None, U=None, p=None, phalf=None) -> None:
+        self.setup()
+        if v is not None:
+            self.state["v"] = tuple(v)
+        if U is not None:
+            self.state["U"] = tuple(U)
+        if p is not None:
+            self.state["p"] = p
+        if phalf is not None:
+            self.state["phalf"] = phalf
+
+    # -- monitors ------------------------------------------------------
+    def add_monitor(self, fn: Callable) -> None:
+        """fn(ns) called before each step and after the last
+        (reference: NSMonitor chain, nsmon.c:4-45)."""
+        self.monitors.append(fn)
+
+    def _monitor(self) -> None:
+        for fn in self.monitors:
+            fn(self)
+
+    # -- stepping ------------------------------------------------------
+    def step(self) -> None:
+        """Reference: NSStep (nsbasic.c:276-299)."""
+        self.setup()
+        self.state, diag = self.impl.step(
+            self.state, self.t, self.step_index
+        )
+        self.last_diag = diag
+        ok = bool(diag["converged"])
+        if not ok:
+            self.reason = NSConvergedReason.DIVERGED_NONLINEAR_SOLVE
+            if self.error_if_step_failed:
+                raise RuntimeError(
+                    f"NS step {self.step_index} diverged: "
+                    f"rnorm={float(diag['ksp_rnorm'])}"
+                )
+            return
+        self.step_index += 1
+        self.t += self.dt
+
+    def _check_finished(self) -> bool:
+        if self.max_steps is not None and self.step_index >= self.max_steps:
+            self.reason = NSConvergedReason.CONVERGED_ITS
+            return True
+        if self.max_time is not None and self.t >= self.max_time - 1e-12:
+            self.reason = NSConvergedReason.CONVERGED_TIME
+            return True
+        return False
+
+    def solve(self) -> NSConvergedReason:
+        """Reference: NSSolve (nsbasic.c:325-351)."""
+        self.setup()
+        self.reason = NSConvergedReason.ITERATING
+        while not self._check_finished():
+            self._monitor()
+            self.step()
+            if self.reason == NSConvergedReason.DIVERGED_NONLINEAR_SOLVE:
+                return self.reason
+        self._monitor()
+        return self.reason
+
+
+def monitor_default(ns: NS) -> None:
+    """Reference: NSMonitorDefault (nsmon.c:47-70)."""
+    it = ""
+    if ns.last_diag is not None:
+        it = f"  ksp_its={int(ns.last_diag['ksp_iters'])}"
+    print(f"step {ns.step_index}  dt {ns.dt:g}  time {ns.t:g}{it}")

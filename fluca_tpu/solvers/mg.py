@@ -1,0 +1,195 @@
+"""Geometric multigrid for the pressure-Poisson operator.
+
+The scalability limiter of the whole scheme is the Schur-complement
+solve S p' = rhs with S = -D Gst (the fractional-step limit, reference
+THEORY_GUIDE.md:330-341; the reference delegates this to whatever
+``-..abf_schur_ksp/pc`` PETSc options provide). Here: cell-centered
+geometric multigrid with volume-weighted 2:1 coarsening, damped-Jacobi
+smoothing, and an exact (host-precomputed pseudo-inverse) coarse solve,
+used as a CG preconditioner.
+
+Symmetry: on non-uniform grids D*Gst is symmetric only in the
+cell-volume inner product, so we solve the volume-scaled system
+  Shat p = vol .* (-D Gst p),  rhs_hat = vol .* rhs
+which is symmetric positive semidefinite in the Euclidean inner
+product (pure-Neumann pressure problems keep the constant nullspace;
+handled by mean projection in CG and pinv on the coarse level).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluca_tpu.mesh.cart import CartMesh
+from fluca_tpu.ns import tables as T_
+from fluca_tpu.ns.bc import BCType
+from fluca_tpu.ops.banded import apply_axis_stencil
+
+
+@dataclass
+class _Level:
+    mesh: CartMesh
+    gst_bands: list
+    div_bands: list
+    vol: jnp.ndarray
+    inv_diag: jnp.ndarray  # 1 / diag(Shat)
+
+
+def _build_level(mesh: CartMesh, axbcs, scale: float, dtype) -> _Level:
+    dim = mesh.dim
+    gst_bands, div_bands = [], []
+    diag = np.zeros(mesh.cell_shape)
+    for d in range(dim):
+        gst, _, _ = T_.gst_tables(mesh, d, axbcs[d])
+        div = T_.div_tables(mesh, d)
+        gst_bands.append(gst.device_bands(dim, dtype))
+        div_bands.append(div.device_bands(dim, dtype))
+
+        # diag contribution of -(D Gst) along axis d:
+        # (D Gst p)_i = (F_{i+1} - F_i)/h_i,  F_j = gm1[j] p_{j-1} +
+        # g0[j] p_j  =>  coeff of p_i = (gm1[i+1] - g0[i]) / h_i
+        N = mesh.N[d]
+        g = gst.as_dict()
+        gm1 = g.get(-1, np.zeros(gst.n_out))
+        g0 = g.get(0, np.zeros(gst.n_out))
+        h = mesh.widths(d)
+        if mesh.periodic[d]:
+            gm1_next = np.roll(gm1, -1)
+        else:
+            gm1_next = gm1[1 : N + 1]
+        dcontrib = -(gm1_next - g0[:N]) / h
+        shape = [1] * dim
+        shape[d] = -1
+        diag = diag + dcontrib.reshape(shape)
+
+    vol = mesh.cell_volumes()
+    inv_diag = 1.0 / np.where(diag == 0.0, 1.0, scale * vol * diag)
+    return _Level(
+        mesh=mesh,
+        gst_bands=gst_bands,
+        div_bands=div_bands,
+        vol=jnp.asarray(scale * vol, dtype),
+        inv_diag=jnp.asarray(inv_diag, dtype),
+    )
+
+
+def _coarsen_mesh(mesh: CartMesh) -> CartMesh | None:
+    if any(n % 2 != 0 or n < 4 for n in mesh.N):
+        return None
+    cm = CartMesh(
+        N=tuple(n // 2 for n in mesh.N),
+        periodic=mesh.periodic,
+    )
+    cm.set_coordinates(*[f[::2] for f in mesh.faces])
+    return cm
+
+
+class PoissonMG:
+    """V-cycle preconditioner for Shat = vol .* (-D Gst) * scale."""
+
+    def __init__(
+        self,
+        mesh: CartMesh,
+        bcs,
+        *,
+        scale: float,
+        dtype,
+        nu_pre: int = 2,
+        nu_post: int = 2,
+        omega: float = 0.8,
+        max_levels: int = 16,
+        coarse_size: int = 1024,
+    ):
+        axbcs = T_.axis_bcs(mesh, bcs)
+        self.nu_pre, self.nu_post, self.omega = nu_pre, nu_post, omega
+        self.levels: list[_Level] = []
+        m = mesh
+        while True:
+            self.levels.append(_build_level(m, axbcs, scale, dtype))
+            if len(self.levels) >= max_levels:
+                break
+            if int(np.prod(m.N)) <= coarse_size:
+                break
+            mc = _coarsen_mesh(m)
+            if mc is None:
+                break
+            m = mc
+
+        # coarse-level exact solve via dense pseudo-inverse on host
+        coarse = self.levels[-1]
+        n = int(np.prod(coarse.mesh.N))
+        basis = jnp.asarray(
+            np.eye(n).reshape((n,) + coarse.mesh.cell_shape), dtype
+        )
+        cols = jax.vmap(lambda e: self._apply_level(coarse, e))(basis)
+        A = np.asarray(cols.reshape(n, n), dtype=np.float64).T
+        self._coarse_pinv = jnp.asarray(np.linalg.pinv(A), dtype)
+
+    # ------------------------------------------------------------------
+    def _apply_level(self, lvl: _Level, p):
+        """Shat p on one level."""
+        mesh = lvl.mesh
+        acc = None
+        for d in range(mesh.dim):
+            F = apply_axis_stencil(
+                lvl.gst_bands[d], p, d, mesh.nfaces(d), mesh.periodic[d]
+            )
+            t = apply_axis_stencil(
+                lvl.div_bands[d], F, d, mesh.N[d], mesh.periodic[d]
+            )
+            acc = t if acc is None else acc + t
+        return -lvl.vol * acc
+
+    def apply_op(self, p):
+        """Top-level operator Shat (for CG)."""
+        return self._apply_level(self.levels[0], p)
+
+    def scale_rhs(self, r):
+        """vol-scale a raw -D Gst rhs to match Shat."""
+        return self.levels[0].vol * r
+
+    # ------------------------------------------------------------------
+    def _smooth(self, lvl, x, b, n):
+        for _ in range(n):
+            r = b - self._apply_level(lvl, x)
+            x = x + self.omega * lvl.inv_diag * r
+        return x
+
+    @staticmethod
+    def _restrict(r, dim):
+        """Sum 2x2(x2) fine cells into each coarse cell (adjoint of
+        piecewise-constant prolongation; residuals are vol-weighted so
+        plain summation is the conservative restriction)."""
+        for d in range(dim):
+            shape = r.shape
+            n = shape[d]
+            new = shape[:d] + (n // 2, 2) + shape[d + 1 :]
+            r = r.reshape(new).sum(axis=d + 1)
+        return r
+
+    @staticmethod
+    def _prolong(e, dim):
+        for d in range(dim):
+            e = jnp.repeat(e, 2, axis=d)
+        return e
+
+    def _vcycle(self, li, x, b):
+        lvl = self.levels[li]
+        if li == len(self.levels) - 1:
+            xf = jnp.matmul(self._coarse_pinv, b.ravel())
+            return xf.reshape(lvl.mesh.cell_shape)
+        x = self._smooth(lvl, x, b, self.nu_pre)
+        r = b - self._apply_level(lvl, x)
+        rc = self._restrict(r, lvl.mesh.dim)
+        ec = self._vcycle(li + 1, jnp.zeros_like(rc), rc)
+        x = x + self._prolong(ec, lvl.mesh.dim)
+        x = self._smooth(lvl, x, b, self.nu_post)
+        return x
+
+    def precondition(self, r):
+        """One V-cycle as preconditioner: approximately Shat^{-1} r."""
+        return self._vcycle(0, jnp.zeros_like(r), r)
