@@ -395,10 +395,17 @@ def conv_tables(mesh: CartMesh, d: int, bc: AxisBC, col_is_normal: bool):
     if bc.lo == BCType.PRESSURE_OUTLET or (
         bc.lo == BCType.SYMMETRY and not col_is_normal
     ):
-        # zero-gradient extrapolation (cartdiscret.c:335-352)
+        # zero-gradient extrapolation (cartdiscret.c:335-352). NOTE:
+        # the reference's forward variant carries a sign error (its
+        # coefficients are -0.5*vf/h times the NEGATED extrapolation
+        # weights; the backward variant at cartdiscret.c:354-371 is
+        # consistent). We use the correct sign: the low-face flux
+        # enters the flux difference with -0.5*vf/h times the
+        # zero-slope-quadratic extrapolation weights
+        # w0 = h2^2/(h2^2-h1^2), w1 = -h1^2/(h2^2-h1^2).
         h1, h2 = c[0] - f[0], c[1] - f[0]
-        wl[0][0] = -0.5 / h[0] * (h2 * h2) / ((h1 + h2) * (h1 - h2))
-        wl[1][0] = 0.5 / h[0] * (h1 * h1) / ((h1 + h2) * (h1 - h2))
+        wl[0][0] = 0.5 / h[0] * (h2 * h2) / ((h1 + h2) * (h1 - h2))
+        wl[1][0] = -0.5 / h[0] * (h1 * h1) / ((h1 + h2) * (h1 - h2))
     # VELOCITY or SYMMETRY-normal: dropped (flux -> bc vector / zero)
 
     # high boundary face (cell N-1, right face)
