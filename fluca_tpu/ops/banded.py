@@ -112,6 +112,35 @@ class AxisStencil:
         return A
 
 
+def compose_axis_stencils(outer: AxisStencil, inner: AxisStencil) -> AxisStencil:
+    """Band product C = outer @ inner along one axis (host-side).
+
+    ``inner`` maps length n_in -> n_mid, ``outer`` maps n_mid ->
+    n_out. Used to fuse operator chains (e.g. the pressure-Poisson
+    D∘Gst) into a single banded stencil so the apply is one fused
+    sweep instead of materializing intermediate face arrays.
+    """
+    assert outer.axis == inner.axis
+    assert outer.periodic == inner.periodic
+    n_out = outer.n_out
+    n_mid = inner.n_out
+    out_bands: dict[int, np.ndarray] = {}
+    for a_off, a_w in outer.bands:
+        for b_off, b_w in inner.bands:
+            off = a_off + b_off
+            acc = out_bands.setdefault(off, np.zeros(n_out))
+            for i in range(n_out):
+                j = i + a_off  # intermediate (inner-output) index
+                if outer.periodic:
+                    j %= n_mid
+                elif not (0 <= j < n_mid):
+                    continue
+                acc[i] += a_w[i] * b_w[j]
+    return AxisStencil.from_dict(
+        outer.axis, n_out, outer.periodic, out_bands
+    )
+
+
 def apply_axis_stencil(device_bands, x, axis, n_out, periodic):
     """y = sum_off w_off * shifted(x, off). ``device_bands`` comes from
     AxisStencil.device_bands."""

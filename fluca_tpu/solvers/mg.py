@@ -27,51 +27,39 @@ import numpy as np
 from fluca_tpu.mesh.cart import CartMesh
 from fluca_tpu.ns import tables as T_
 from fluca_tpu.ns.bc import BCType
-from fluca_tpu.ops.banded import apply_axis_stencil
+from fluca_tpu.ops.banded import apply_axis_stencil, compose_axis_stencils
 
 
 @dataclass
 class _Level:
     mesh: CartMesh
-    gst_bands: list
-    div_bands: list
+    dgst_bands: list  # per-axis composed D@Gst (cell->cell) bands
     vol: jnp.ndarray
     inv_diag: jnp.ndarray  # 1 / diag(Shat)
 
 
 def _build_level(mesh: CartMesh, axbcs, scale: float, dtype) -> _Level:
     dim = mesh.dim
-    gst_bands, div_bands = [], []
+    dgst_bands = []
     diag = np.zeros(mesh.cell_shape)
     for d in range(dim):
         gst, _, _ = T_.gst_tables(mesh, d, axbcs[d])
         div = T_.div_tables(mesh, d)
-        gst_bands.append(gst.device_bands(dim, dtype))
-        div_bands.append(div.device_bands(dim, dtype))
-
-        # diag contribution of -(D Gst) along axis d:
-        # (D Gst p)_i = (F_{i+1} - F_i)/h_i,  F_j = gm1[j] p_{j-1} +
-        # g0[j] p_j  =>  coeff of p_i = (gm1[i+1] - g0[i]) / h_i
-        N = mesh.N[d]
-        g = gst.as_dict()
-        gm1 = g.get(-1, np.zeros(gst.n_out))
-        g0 = g.get(0, np.zeros(gst.n_out))
-        h = mesh.widths(d)
-        if mesh.periodic[d]:
-            gm1_next = np.roll(gm1, -1)
-        else:
-            gm1_next = gm1[1 : N + 1]
-        dcontrib = -(gm1_next - g0[:N]) / h
+        # fuse D@Gst into one tridiagonal-per-axis stencil so each
+        # Poisson apply is a single 5/7-point fused sweep (no face
+        # intermediates): the SpMV hot path
+        dgst = compose_axis_stencils(div, gst)
+        dgst_bands.append(dgst.device_bands(dim, dtype))
+        w0 = dgst.as_dict().get(0, np.zeros(mesh.N[d]))
         shape = [1] * dim
         shape[d] = -1
-        diag = diag + dcontrib.reshape(shape)
+        diag = diag + (-w0).reshape(shape)
 
     vol = mesh.cell_volumes()
     inv_diag = 1.0 / np.where(diag == 0.0, 1.0, scale * vol * diag)
     return _Level(
         mesh=mesh,
-        gst_bands=gst_bands,
-        div_bands=div_bands,
+        dgst_bands=dgst_bands,
         vol=jnp.asarray(scale * vol, dtype),
         inv_diag=jnp.asarray(inv_diag, dtype),
     )
@@ -131,15 +119,12 @@ class PoissonMG:
 
     # ------------------------------------------------------------------
     def _apply_level(self, lvl: _Level, p):
-        """Shat p on one level."""
+        """Shat p on one level: fused per-axis banded sweeps."""
         mesh = lvl.mesh
         acc = None
         for d in range(mesh.dim):
-            F = apply_axis_stencil(
-                lvl.gst_bands[d], p, d, mesh.nfaces(d), mesh.periodic[d]
-            )
             t = apply_axis_stencil(
-                lvl.div_bands[d], F, d, mesh.N[d], mesh.periodic[d]
+                lvl.dgst_bands[d], p, d, mesh.N[d], mesh.periodic[d]
             )
             acc = t if acc is None else acc + t
         return -lvl.vol * acc
