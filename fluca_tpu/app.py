@@ -1,0 +1,82 @@
+"""Demo application: options-driven lid-driven cavity solver.
+
+Reference: fluca/app/main.c — builds Mesh+NS from the options
+database, optional mesh/solution restart from file, solves, writes
+output. Run e.g.:
+
+  python -m fluca_tpu.app -cart_grid_x 64 -cart_grid_y 64 \
+      -ns_density 400 -ns_viscosity 1 -ns_time_step_size 0.002 \
+      -ns_max_steps 1000 -ns_monitor \
+      -ns_view_solution out.cgns -checkpoint ck_dir
+"""
+
+from __future__ import annotations
+
+import sys
+
+import fluca_tpu
+from fluca_tpu.mesh.cart import CartMesh
+from fluca_tpu.ns.bc import BCType, BoundaryCondition, zero_velocity_bc
+from fluca_tpu.ns.monitor import monitor_default
+from fluca_tpu.ns.ns import NS
+from fluca_tpu.utils.options import global_options
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    fluca_tpu.initialize(argv)
+    opts = global_options()
+
+    # mesh from options or from checkpoint (main.c:35-48)
+    mesh = CartMesh.from_options(opts)
+
+    wall = zero_velocity_bc()
+    lid = BoundaryCondition(
+        BCType.VELOCITY,
+        velocity=lambda t, xs: tuple(
+            (1.0 + 0.0 * xs[0]) if c == 0 else 0.0 * xs[0]
+            for c in range(mesh.dim)
+        ),
+    )
+    bcs = [wall] * (2 * mesh.dim)
+    bcs[3] = lid  # moving top lid (main.c:52-66)
+
+    ns = NS(
+        mesh,
+        rho=400.0,
+        mu=1.0,
+        dt=0.002,
+        max_steps=1000,
+        bcs=bcs,
+        options=opts,
+    )
+    ns.set_from_options()
+    ns.setup()
+
+    if opts.has("load_checkpoint"):
+        from fluca_tpu.io.checkpoint import load_checkpoint
+
+        load_checkpoint(opts.get_str("load_checkpoint"), ns)
+
+    if opts.sub("ns_").get_bool("monitor"):
+        ns.add_monitor(monitor_default)
+
+    reason = ns.solve()
+    print(f"done: {reason.name} at step {ns.step_index}, t={ns.t:g}")
+
+    if opts.has("checkpoint"):
+        from fluca_tpu.io.checkpoint import save_checkpoint
+
+        save_checkpoint(opts.get_str("checkpoint"), ns)
+    if opts.sub("ns_").has("view_solution"):
+        from fluca_tpu.io.cgns import CGNSWriter
+
+        with CGNSWriter(
+            opts.sub("ns_").get_str("view_solution"), mesh
+        ) as w:
+            w.write_solution(ns)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
