@@ -103,6 +103,10 @@ class CNLinearSolver:
         self.mg = PoissonMG(mesh, bcs, scale=dt / rho, dtype=dtype)
         self.pin_pressure = not self.ops.has_pressure_outlet
         self._step_jit = {}
+        # optional momentum body-force hook: f(state0, t) -> cell
+        # vector; added to the momentum RHS as dt * f (used by the
+        # direct-forcing IBM, fluca_tpu.ibm.forcing)
+        self.body_force = None
 
     # -- state ---------------------------------------------------------
     def zero_state(self) -> dict:
@@ -244,6 +248,11 @@ class CNLinearSolver:
         )
 
         rhs = self._form_rhs(sol0, state["phalf"], t, is_first_step)
+        if self.body_force is not None:
+            f = self.body_force(sol0, t)
+            rhs["v"] = tuple(
+                rhs["v"][c] + self.dt * f[c] for c in range(dim)
+            )
         diagA = ops.diag_A(U0, v0f)
 
         res = fgmres(

@@ -152,7 +152,7 @@ def build_poisson_apply_2d(level, *, scale_into_coeffs=True,
         rx0 = rx_ref[1, pl.ds(r0, TM)][:, None]
         rxp = rx_ref[2, pl.ds(r0, TM)][:, None]
         ryv = ry_ref[pl.ds(r0, TM)][:, None]
-        cyv = cy_ref[None, :]
+        cyv = cy_ref[:][None, :]
 
         xterm = (rxm * up + rx0 * center + rxp * down) * cyv
 
