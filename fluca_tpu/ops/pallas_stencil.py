@@ -157,7 +157,7 @@ def build_poisson_apply_2d(level, *, scale_into_coeffs=True,
         xterm = (rxm * up + rx0 * center + rxp * down) * cyv
 
         left = pltpu.roll(center, 1, 1)
-        right = pltpu.roll(center, -1, 1)
+        right = pltpu.roll(center, N1 - 1, 1)  # roll by -1 (shift>=0)
         cybm = cyb_ref[0][None, :]
         cyb0 = cyb_ref[1][None, :]
         cybp = cyb_ref[2][None, :]
