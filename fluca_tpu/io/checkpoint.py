@@ -20,7 +20,9 @@ import numpy as np
 
 
 def save_checkpoint(path: str, ns) -> None:
-    """Write state + metadata. ``path`` is a directory."""
+    """Write state + metadata. ``path`` is a directory. Large fields
+    stream through the native fastio engine (fluca_tpu.native) when
+    available, falling back to npz."""
     os.makedirs(path, exist_ok=True)
     state = ns.state
     arrays = {"p": np.asarray(state["p"]), "phalf": np.asarray(state["phalf"])}
@@ -28,8 +30,23 @@ def save_checkpoint(path: str, ns) -> None:
         arrays[f"v{c}"] = np.asarray(a)
     for d, a in enumerate(state["U"]):
         arrays[f"U{d}"] = np.asarray(a)
-    np.savez(os.path.join(path, "fields.npz"), **arrays)
+
+    from fluca_tpu import native
+
+    used_native = True
+    array_meta = {}
+    for name, a in arrays.items():
+        array_meta[name] = {"shape": list(a.shape), "dtype": str(a.dtype)}
+        if not native.write_array(
+            os.path.join(path, f"{name}.bin"), a
+        ):
+            used_native = False
+            break
+    if not used_native:
+        np.savez(os.path.join(path, "fields.npz"), **arrays)
     meta = {
+        "format": "native" if used_native else "npz",
+        "arrays": array_meta,
         "step": ns.step_index,
         "time": ns.t,
         "dt": ns.dt,
@@ -54,7 +71,20 @@ def load_checkpoint(path: str, ns) -> None:
         f"grid size mismatch: {ns.mesh.N} vs {meta['N']}"
     )
     assert list(ns.mesh.periodic) == meta["periodic"]
-    data = np.load(os.path.join(path, "fields.npz"))
+    if meta.get("format") == "native":
+        from fluca_tpu import native
+
+        data = {}
+        for name, am in meta["arrays"].items():
+            arr = native.read_array(
+                os.path.join(path, f"{name}.bin"),
+                tuple(am["shape"]), np.dtype(am["dtype"]),
+            )
+            if arr is None:  # toolchain missing at load time
+                raise IOError("native checkpoint requires fastio")
+            data[name] = arr
+    else:
+        data = np.load(os.path.join(path, "fields.npz"))
     import jax.numpy as jnp
 
     dim = ns.mesh.dim
