@@ -1,0 +1,44 @@
+"""Poiseuille channel: the PRESSURE_OUTLET + inflow BC correctness
+oracle (analytic steady state)."""
+
+import numpy as np
+
+from fluca_tpu.models.channel import poiseuille_exact, setup_channel_2d
+
+
+def test_poiseuille_steady_state_preserved():
+    """Initialized with the exact solution, the flow must stay on it
+    (residual of the full discrete system near machine level)."""
+    mu, U_max, L, H = 0.05, 1.0, 2.0, 1.0
+    ns = setup_channel_2d(
+        N=(32, 16), L=L, H=H, U_max=U_max, mu=mu, dt=0.05, max_steps=10
+    )
+    ns.solve()
+    u_ex, p_ex = poiseuille_exact(mu, U_max, L, H)
+    cx, cy = ns.mesh.centers(0), ns.mesh.centers(1)
+    Xc, Yc = np.meshgrid(cx, cy, indexing="ij")
+    u = np.asarray(ns.state["v"][0])
+    v = np.asarray(ns.state["v"][1])
+    p = np.asarray(ns.state["p"])
+    assert np.max(np.abs(u - u_ex(Yc))) < 5e-3
+    assert np.max(np.abs(v)) < 5e-3
+    # pressure gradient maintained (compare up to its range)
+    dp = p - p_ex(Xc)
+    assert np.max(np.abs(dp - dp.mean())) < 5e-2 * np.max(p_ex(Xc))
+
+
+def test_poiseuille_develops_from_uniform():
+    """Started from rest, the inflow/outlet system must evolve toward
+    the parabolic profile."""
+    mu, U_max, L, H = 0.05, 1.0, 2.0, 1.0
+    ns = setup_channel_2d(
+        N=(32, 16), L=L, H=H, U_max=U_max, mu=mu, dt=0.05,
+        max_steps=60, exact_init=False,
+    )
+    ns.solve()
+    u_ex, _ = poiseuille_exact(mu, U_max, L, H)
+    cy = ns.mesh.centers(1)
+    u = np.asarray(ns.state["v"][0])
+    mid = u.shape[0] // 2
+    err = np.max(np.abs(u[mid] - u_ex(cy))) / U_max
+    assert err < 0.15, err
