@@ -2,30 +2,30 @@
 
 The XLA lowering of the banded apply materializes every shifted copy
 of the input (measured ~100 GB/s effective on a v5e vs 819 GB/s
-roofline); this kernel reads the input once (HBM -> VMEM row tiles
-with one-row halos), applies the separable 5/7-point stencil entirely
-in VMEM, and writes the output once — the minimum-traffic form.
+roofline); this kernel reads each input tile once, applies the
+separable 5-point stencil in VMEM, and writes the output once — the
+minimum-traffic form.
 
-Operator (2-D): Shat p = vol .* (-(D Gst)_x - (D Gst)_y) * scale with
-per-axis tridiagonal bands b_o. Separability lets every term factor
-into (row vector) x (col vector):
+Operator (2-D): Shat p = vol .* (-(D Gst)) * scale with per-axis
+tridiagonal bands b_o. Separability lets every term factor into
+(row vector) x (col vector):
 
-  out[i,j] = CY[j] * sum_o RX_o[i] * p[i+o, j]      (x bands, o=-1..1)
+  out[i,j] = CY[j] * sum_o RX_o[i] * p[i+o, j]      (x bands)
            + RY[i] * sum_o CY_o[j] * p[i, j+o]      (y bands)
 
 with RX_o = -scale*hx*bx_o, CY = hy, RY = hx, CY_o = -scale*hy*by_o.
-Boundary rows/cols carry folded-BC coefficients (zero across
-non-periodic edges), so wrap/garbage reads beyond the edge are
-annihilated by construction — halo rows are explicitly zeroed (or
-wrapped for periodic axes) to avoid NaN * 0.
 
-3-D applies the same structure with z handled as extra leading grid
-dimension.
+Mosaic alignment strategy: the grid is tiled in aligned (TM, N1) row
+blocks (BlockSpec pipelining); row-neighbor access inside a tile uses
+sublane rolls, and the two rows crossing tile boundaries are supplied
+by tiny "edge row" arrays (ntiles, N1) prepared with XLA outside the
+kernel (negligible traffic). Column neighbors are lane rolls; wrapped
+reads across non-periodic edges are annihilated by the zero boundary
+coefficients baked into the tables (and the edge rows are zeroed /
+wrapped explicitly), so no unaligned slicing is needed anywhere.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -34,29 +34,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _band3(st, n):
-    d = st.as_dict()
-    z = np.zeros(n)
-    return d.get(-1, z), d.get(0, z), d.get(1, z)
-
-
-def build_poisson_apply_2d(level, *, scale_into_coeffs=True,
-                           tile_rows=256, interpret=False):
+def build_poisson_apply_2d(level, *, tile_rows=512, interpret=False):
     """Returns f(p) computing vol .* (-(D Gst) p) for one MG level via
-    a single fused Pallas kernel. ``level`` is a solvers.mg._Level
-    whose dgst bands must be tridiagonal (offsets -1..1) — true for
-    every interior-central discretization; boundary one-sided rows of
-    width > 3 are not produced by gst/div composition."""
+    a fused Pallas kernel. Bands must be tridiagonal (offsets -1..1),
+    which gst/div composition guarantees."""
     mesh = level.mesh
     assert mesh.dim == 2
     N0, N1 = mesh.N
     per0, per1 = mesh.periodic
     dtype = level.vol.dtype
 
-    from fluca_tpu.ops.banded import AxisStencil  # noqa: F401
-
-    # reconstruct 1-D band vectors from the level's device bands
-    def bands_1d(device_bands, axis, n):
+    def bands_1d(device_bands, n):
         out = {}
         for off, w in device_bands:
             out[off] = np.asarray(w).reshape(-1)
@@ -65,103 +53,48 @@ def build_poisson_apply_2d(level, *, scale_into_coeffs=True,
         assert set(out) <= {-1, 0, 1}, set(out)
         return out.get(-1, z), out.get(0, z), out.get(1, z)
 
-    bx = bands_1d(level.dgst_bands[0], 0, N0)
-    by = bands_1d(level.dgst_bands[1], 1, N1)
-    hx = mesh.widths(0)
+    bx = bands_1d(level.dgst_bands[0], N0)
+    by = bands_1d(level.dgst_bands[1], N1)
     hy = mesh.widths(1)
-    # vol*scale is folded into level.vol already
-    volrow = np.asarray(level.vol)[:, 0] / hy[0]  # = scale*hx
-    # separable factors
-    RX = [(-volrow * b).astype(np.float64) for b in bx]  # len N0 each
-    CY = hy.astype(np.float64)  # len N1
-    RY = volrow.astype(np.float64)  # len N0 (= scale*hx)
-    CYb = [(-hy * b).astype(np.float64) for b in by]  # len N1
+    volrow = np.asarray(level.vol)[:, 0] / hy[0]  # = scale * hx
+    RX = np.stack([-volrow * b for b in bx], 0)  # (3, N0)
+    CY = hy
+    RY = volrow
+    CYb = np.stack([-hy * b for b in by], 0)  # (3, N1)
 
     TM = min(tile_rows, N0)
     while N0 % TM:
         TM //= 2
     ntiles = N0 // TM
 
-    rx = jnp.asarray(np.stack(RX, 0), dtype)  # (3, N0)
+    rx = jnp.asarray(RX, dtype)
     ry = jnp.asarray(RY, dtype)
     cy = jnp.asarray(CY, dtype)
-    cyb = jnp.asarray(np.stack(CYb, 0), dtype)  # (3, N1)
+    cyb = jnp.asarray(CYb, dtype)
 
-    def kernel(p_hbm, rx_ref, ry_ref, cy_ref, cyb_ref, out_ref,
-               win, sem):
-        i = pl.program_id(0)
-        r0 = i * TM
+    def kernel(block, rxt, ryt, cy_ref, cyb_ref, ue, de, out_ref):
+        # block: (TM, N1) tile of p; rxt: (3, TM) row coeffs for this
+        # tile; ryt: (TM,); ue/de: (1, N1) edge rows
+        p = block[...]
+        up = pltpu.roll(p, 1, 0)
+        dn = pltpu.roll(p, TM - 1, 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TM, N1), 0)
+        up = jnp.where(rows == 0, ue[...], up)
+        dn = jnp.where(rows == TM - 1, de[...], dn)
 
-        # interior rows -> win[1:TM+1]
-        cp = pltpu.make_async_copy(
-            p_hbm.at[pl.ds(r0, TM)], win.at[pl.ds(1, TM)], sem
-        )
-        cp.start()
-        cp.wait()
+        rxm = rxt[0, :][:, None]
+        rx0 = rxt[1, :][:, None]
+        rxp = rxt[2, :][:, None]
+        ryv = ryt[0, :][:, None]
+        cyv = cy_ref[...][None, :]
+        xterm = (rxm * up + rx0 * p + rxp * dn) * cyv
 
-        # top halo row
-        if per0:
-            top_src = (r0 - 1) % N0
-            cp = pltpu.make_async_copy(
-                p_hbm.at[pl.ds(top_src, 1)], win.at[pl.ds(0, 1)], sem
-            )
-            cp.start()
-            cp.wait()
-        else:
-            @pl.when(i == 0)
-            def _():
-                win[0, :] = jnp.zeros((N1,), dtype)
-
-            @pl.when(i > 0)
-            def _():
-                cp = pltpu.make_async_copy(
-                    p_hbm.at[pl.ds(jnp.maximum(r0 - 1, 0), 1)],
-                    win.at[pl.ds(0, 1)], sem,
-                )
-                cp.start()
-                cp.wait()
-
-        # bottom halo row
-        if per0:
-            bot_src = (r0 + TM) % N0
-            cp = pltpu.make_async_copy(
-                p_hbm.at[pl.ds(bot_src, 1)], win.at[pl.ds(TM + 1, 1)],
-                sem,
-            )
-            cp.start()
-            cp.wait()
-        else:
-            @pl.when(i == ntiles - 1)
-            def _():
-                win[TM + 1, :] = jnp.zeros((N1,), dtype)
-
-            @pl.when(i < ntiles - 1)
-            def _():
-                cp = pltpu.make_async_copy(
-                    p_hbm.at[pl.ds(jnp.minimum(r0 + TM, N0 - 1), 1)],
-                    win.at[pl.ds(TM + 1, 1)], sem,
-                )
-                cp.start()
-                cp.wait()
-
-        center = win[1 : TM + 1, :]
-        up = win[0:TM, :]
-        down = win[2 : TM + 2, :]
-
-        rxm = rx_ref[0, pl.ds(r0, TM)][:, None]
-        rx0 = rx_ref[1, pl.ds(r0, TM)][:, None]
-        rxp = rx_ref[2, pl.ds(r0, TM)][:, None]
-        ryv = ry_ref[pl.ds(r0, TM)][:, None]
-        cyv = cy_ref[:][None, :]
-
-        xterm = (rxm * up + rx0 * center + rxp * down) * cyv
-
-        left = pltpu.roll(center, 1, 1)
-        right = pltpu.roll(center, N1 - 1, 1)  # roll by -1 (shift>=0)
-        cybm = cyb_ref[0][None, :]
-        cyb0 = cyb_ref[1][None, :]
-        cybp = cyb_ref[2][None, :]
-        yterm = ryv * (cybm * left + cyb0 * center + cybp * right)
+        left = pltpu.roll(p, 1, 1)
+        right = pltpu.roll(p, N1 - 1, 1)
+        cybm = cyb_ref[0, :][None, :]
+        cyb0 = cyb_ref[1, :][None, :]
+        cybp = cyb_ref[2, :][None, :]
+        yterm = ryv * (cybm * left + cyb0 * p + cybp * right)
 
         out_ref[...] = xterm + yterm
 
@@ -170,19 +103,22 @@ def build_poisson_apply_2d(level, *, scale_into_coeffs=True,
         out_shape=jax.ShapeDtypeStruct((N0, N1), dtype),
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # p stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rx (3, N0)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ry
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # cy
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # cyb
+            pl.BlockSpec((TM, N1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TM), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cy (N1,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cyb (3, N1)
+            pl.BlockSpec((1, N1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # up edges
+            pl.BlockSpec((1, N1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # down edges
         ],
         out_specs=pl.BlockSpec(
             (TM, N1), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((TM + 2, N1), dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=10 * N0 * N1,
@@ -191,9 +127,20 @@ def build_poisson_apply_2d(level, *, scale_into_coeffs=True,
         ),
     )
 
+    ry2 = ry[None, :]  # (1, N0) so per-tile block is (1, TM)
+
     @jax.jit
     def apply(p):
-        return call(p, rx, ry, cy, cyb)
+        p4 = p.reshape(ntiles, TM, N1)
+        ue = jnp.zeros((ntiles, N1), dtype)
+        de = jnp.zeros((ntiles, N1), dtype)
+        if ntiles > 1:
+            ue = ue.at[1:].set(p4[:-1, TM - 1, :])
+            de = de.at[:-1].set(p4[1:, 0, :])
+        if per0:
+            ue = ue.at[0].set(p[N0 - 1, :])
+            de = de.at[ntiles - 1].set(p[0, :])
+        return call(p, rx, ry2, cy, cyb, ue, de)
 
     return apply
 
