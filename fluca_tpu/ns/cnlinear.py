@@ -65,6 +65,11 @@ class CNLinearConfig:
     schur_rtol: float = 1e-5    # kspS (abf_schur_)
     schur_maxiter: int = 200
     mg_levels: bool = True
+    # Atilde approximations in the ABF factorization
+    # (-pc_abf_schur_ainv_type / -pc_abf_upper_ainv_type,
+    # abfpc.c:240-252); 'id' is the fractional-step limit
+    schur_ainv: str = "id"      # id | diag | rowsum
+    upper_ainv: str = "id"
 
     @classmethod
     def from_options(cls, opts, prefix="ns_"):
@@ -77,6 +82,8 @@ class CNLinearConfig:
             mom_maxiter=o.get_int("abf_momentum_ksp_max_it", 100),
             schur_rtol=o.get_real("abf_schur_ksp_rtol", 1e-5),
             schur_maxiter=o.get_int("abf_schur_ksp_max_it", 200),
+            schur_ainv=o.get_str("pc_abf_schur_ainv_type", "id"),
+            upper_ainv=o.get_str("pc_abf_upper_ainv_type", "id"),
         )
 
 
@@ -159,31 +166,86 @@ class CNLinearSolver:
         )
         return res.x
 
-    def _solve_schur(self, rhs_p):
-        """Solve Shat p = vol .* rhs_p with CG + MG V-cycle."""
-        res = cg(
-            self.mg.apply_op,
+    def _ainv_diag(self, kind: str, U0, v0f, diagA):
+        """1/Atilde as a per-component diagonal field, or None for
+        identity. 'diag' uses diag(A); 'rowsum' uses A @ 1 (the
+        lumped row-sum), both matrix-free (abfpc.c Atilde options)."""
+        if kind == "id":
+            return None
+        if kind == "diag":
+            return tuple(1.0 / d for d in diagA)
+        if kind == "rowsum":
+            ones = tuple(
+                jnp.ones(self.mesh.cell_shape, self.dtype)
+                for _ in range(self.ops.dim)
+            )
+            rs = self.ops.apply_A(ones, U0, v0f)
+            return tuple(
+                1.0 / jnp.where(r == 0, 1.0, r) for r in rs
+            )
+        raise ValueError(f"unknown ainv type {kind!r}")
+
+    def _solve_schur(self, rhs_p, U0=None, v0f=None, ainv1=None):
+        """Solve Stilde p = rhs with CG+MG (Atilde1 = I, symmetric) or
+        FGMRES+MG (diag/rowsum, nonsymmetric Stilde =
+        -D T Atilde1^-1 G + D R = D T (I - Atilde1^-1) G - D Gst)."""
+        proj = self._project_p if self.pin_pressure else None
+        if ainv1 is None:
+            res = cg(
+                self.mg.apply_op,
+                self.mg.scale_rhs(rhs_p),
+                rtol=self.cfg.schur_rtol,
+                maxiter=self.cfg.schur_maxiter,
+                M=self.mg.precondition,
+                project=proj,
+            )
+            return res.x
+        ops = self.ops
+
+        def S(p):
+            # Stilde p = D T (I - Atilde1^-1) G p - D Gst p,
+            # vol-scaled to match the MG preconditioner
+            Gp = ops.apply_G(p)
+            corr = tuple(
+                Gp[c] - ainv1[c] * Gp[c] for c in range(ops.dim)
+            )
+            out = ops.apply_D(ops.apply_T(corr)) - ops.apply_DGst(p)
+            return self.mg.scale_rhs(out)
+
+        res = fgmres(
+            S,
             self.mg.scale_rhs(rhs_p),
             rtol=self.cfg.schur_rtol,
             maxiter=self.cfg.schur_maxiter,
+            restart=30,
             M=self.mg.precondition,
-            project=self._project_p if self.pin_pressure else None,
         )
-        return res.x
+        p = res.x
+        return proj(p) if proj else p
 
     def _abf_apply(self, r, U0, v0f, diagA):
-        """PCApply_ABF (abfpc.c:48-111) with Atilde1 = Atilde2 = I."""
+        """PCApply_ABF (abfpc.c:48-111)."""
         ops = self.ops
+        ainv1 = self._ainv_diag(self.cfg.schur_ainv, U0, v0f, diagA)
+        ainv2 = self._ainv_diag(self.cfg.upper_ainv, U0, v0f, diagA)
         vstar = self._solve_momentum(r["v"], U0, v0f, diagA)
         Tv = ops.apply_T(vstar)
         Ustar = tuple(r["U"][d] + Tv[d] for d in range(ops.dim))
         # rhs for Schur: contrhs - D U*
         rp = r["p"] - ops.apply_D(Ustar)
-        p = self._solve_schur(rp)
+        p = self._solve_schur(rp, U0, v0f, ainv1)
         Gp = ops.apply_G(p)
-        Gstp = ops.apply_Gst(p)
-        v = tuple(vstar[c] - Gp[c] for c in range(ops.dim))
-        U = tuple(Ustar[d] - Gstp[d] for d in range(ops.dim))
+        if ainv2 is not None:
+            Gp2 = tuple(ainv2[c] * Gp[c] for c in range(ops.dim))
+        else:
+            Gp2 = Gp
+        # U update: U* - (T Atilde2^-1 G - R) p, with R = T G - Gst
+        TGp2 = ops.apply_T(Gp2)
+        Rp = ops.apply_R(p)
+        v = tuple(vstar[c] - Gp2[c] for c in range(ops.dim))
+        U = tuple(
+            Ustar[d] - TGp2[d] + Rp[d] for d in range(ops.dim)
+        )
         return {"v": v, "U": U, "p": p}
 
     # -- RHS (FormFunction; cnlinearcart2d.c:2071-2171) ----------------

@@ -79,8 +79,8 @@ def build_poisson_apply_2d(level, *, tile_rows=512, interpret=False):
         up = pltpu.roll(p, 1, 0)
         dn = pltpu.roll(p, TM - 1, 0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (TM, N1), 0)
-        up = jnp.where(rows == 0, ue[...], up)
-        dn = jnp.where(rows == TM - 1, de[...], dn)
+        up = jnp.where(rows == 0, ue[0], up)
+        dn = jnp.where(rows == TM - 1, de[0], dn)
 
         rxm = rxt[0, :][:, None]
         rx0 = rxt[1, :][:, None]
@@ -111,9 +111,9 @@ def build_poisson_apply_2d(level, *, tile_rows=512, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cy (N1,)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cyb (3, N1)
-            pl.BlockSpec((1, N1), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, N1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # up edges
-            pl.BlockSpec((1, N1), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, N1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # down edges
         ],
         out_specs=pl.BlockSpec(
@@ -140,6 +140,8 @@ def build_poisson_apply_2d(level, *, tile_rows=512, interpret=False):
         if per0:
             ue = ue.at[0].set(p[N0 - 1, :])
             de = de.at[ntiles - 1].set(p[0, :])
+        ue = ue.reshape(ntiles, 1, N1)
+        de = de.reshape(ntiles, 1, N1)
         return call(p, rx, ry2, cy, cyb, ue, de)
 
     return apply
