@@ -225,6 +225,59 @@ class CGNSWriter:
 # ----------------------------------------------------------------------
 
 
+def mesh_from_cgns(filename: str):
+    """Reconstruct a CartMesh from a CGNS file's vertex coordinates
+    (reference: MeshLoad_Cart_CGNS, cartcgns.c:120-158; app flag
+    -mesh_cart_create_from_file, app/main.c:35-48). Periodicity is
+    not stored in CGNS structured zones; defaults to non-periodic."""
+    from fluca_tpu.mesh.cart import CartMesh
+
+    data = read_cgns(filename)
+    faces = data["faces"]
+    N = tuple(len(f) - 1 for f in faces)
+    mesh = CartMesh.create(N)
+    mesh.set_coordinates(*faces)
+    return mesh
+
+
+def load_solution_cgns(filename: str, ns, step: int | None = None):
+    """Restore solution fields + step/time from a CGNS file
+    (reference: NSLoadSolution -> VecLoad_Cart_CGNS,
+    nssol.c:174-204, cartcgns.c:644-758)."""
+    import jax.numpy as jnp
+
+    data = read_cgns(filename)
+    steps = sorted(data["solutions"])
+    assert steps, f"no FlowSolution nodes in {filename}"
+    if step is None:
+        step = steps[-1]
+    sol = data["solutions"][step]
+    dim = ns.mesh.dim
+    comp = ["X", "Y", "Z"]
+    for d in range(dim):
+        assert sol[f"Velocity{comp[d]}"].shape == ns.mesh.cell_shape, (
+            "grid size mismatch on CGNS load"
+        )
+    ns.setup()
+    ns.set_solution(
+        v=tuple(
+            jnp.asarray(sol[f"Velocity{comp[d]}"], ns.dtype)
+            for d in range(dim)
+        ),
+        U=tuple(
+            jnp.asarray(data["U"][step][d], ns.dtype)
+            for d in range(dim)
+        ),
+        p=jnp.asarray(sol["Pressure"], ns.dtype),
+        phalf=jnp.asarray(sol["PressureHalfStep"], ns.dtype),
+    )
+    ns.step_index = int(step)
+    if "times" in data:
+        idx = steps.index(step)
+        ns.t = float(data["times"][idx])
+    return ns
+
+
 def read_cgns(filename: str) -> dict:
     """Read mesh + all solutions from one CGNS-HDF5 file."""
     _require_h5py()

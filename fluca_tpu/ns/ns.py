@@ -157,8 +157,11 @@ class NS:
         return False
 
     def solve(self) -> NSConvergedReason:
-        """Reference: NSSolve (nsbasic.c:325-351)."""
+        """Reference: NSSolve (nsbasic.c:325-351), incl. the
+        -ns_view_pre / -ns_view hooks (nsbasic.c:331-349)."""
         self.setup()
+        if self.options.sub("ns_").get_bool("view_pre"):
+            print(self.view())
         self.reason = NSConvergedReason.ITERATING
         while not self._check_finished():
             self._monitor()
@@ -166,7 +169,39 @@ class NS:
             if self.reason == NSConvergedReason.DIVERGED_NONLINEAR_SOLVE:
                 return self.reason
         self._monitor()
+        if self.options.sub("ns_").get_bool("view"):
+            print(self.view())
         return self.reason
+
+    def view(self) -> str:
+        """ASCII view of the solver configuration (reference: NSView
+        and per-class ASCII View methods)."""
+        lines = [
+            f"NS object, type {self.ns_type}",
+            f"  mesh: {self.mesh}",
+            f"  density rho = {self.rho:g}, viscosity mu = {self.mu:g}",
+            f"  dt = {self.dt:g}, step = {self.step_index}, "
+            f"t = {self.t:g}",
+            f"  max_steps = {self.max_steps}, max_time = {self.max_time}",
+            "  boundary conditions: "
+            + ", ".join(
+                f"{i}:{b.type.value if b else None}"
+                for i, b in enumerate(self.bcs)
+            ),
+        ]
+        if self.impl is not None:
+            cfg = self.impl.cfg
+            lines.append(
+                f"  ksp: fgmres rtol={cfg.rtol:g} restart={cfg.restart}"
+                f" + ABF(schur_ainv={cfg.schur_ainv},"
+                f" upper_ainv={cfg.upper_ainv})"
+            )
+            lines.append(
+                f"  schur: cg+mg ({len(self.impl.mg.levels)} levels)"
+                f" rtol={cfg.schur_rtol:g};"
+                f" momentum: bicgstab+jacobi rtol={cfg.mom_rtol:g}"
+            )
+        return "\n".join(lines)
 
 
 def monitor_default(ns: NS) -> None:

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def build_poisson_apply_2d(level, *, tile_rows=512, interpret=False):
+def build_poisson_apply_2d(level, *, tile_rows=128, interpret=False):
     """Returns f(p) computing vol .* (-(D Gst) p) for one MG level via
     a fused Pallas kernel. Bands must be tridiagonal (offsets -1..1),
     which gst/div composition guarantees."""
