@@ -133,6 +133,39 @@ class MarkerSet:
         return out
 
 
+def sphere_markers(
+    mesh: CartMesh, center, radius, n_markers=None, kernel="roma3",
+    dtype=None,
+) -> MarkerSet:
+    """Quasi-uniform markers on a sphere via the Fibonacci lattice,
+    spaced ~ grid h, each owning surface area ~ (4 pi r^2 / Nm) * h
+    (volumetric thickness ~h, as for circle_markers)."""
+    h = float(mesh.widths(0)[0])
+    if n_markers is None:
+        n_markers = max(int(np.ceil(4 * np.pi * radius**2 / h**2)), 16)
+    i = np.arange(n_markers) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n_markers)
+    golden = np.pi * (1.0 + 5.0**0.5)
+    theta = golden * i
+    X = np.stack(
+        [
+            center[0] + radius * np.sin(phi) * np.cos(theta),
+            center[1] + radius * np.sin(phi) * np.sin(theta),
+            center[2] + radius * np.cos(phi),
+        ],
+        axis=1,
+    )
+    ds = np.full(n_markers, 4 * np.pi * radius**2 / n_markers * h)
+    from fluca_tpu.utils import config
+
+    import jax.numpy as jnp
+
+    dt = dtype or config.default_dtype()
+    return MarkerSet(
+        mesh, jnp.asarray(X, dt), jnp.asarray(ds, dt), kernel
+    )
+
+
 def circle_markers(
     mesh: CartMesh, center, radius, n_markers=None, kernel="roma3",
     dtype=None,

@@ -36,6 +36,7 @@ class _Level:
     dgst_bands: list  # per-axis composed D@Gst (cell->cell) bands
     vol: jnp.ndarray
     inv_diag: jnp.ndarray  # 1 / diag(Shat)
+    pallas_apply: object = None  # fused TPU kernel (set when eligible)
 
 
 def _build_level(mesh: CartMesh, axbcs, scale: float, dtype) -> _Level:
@@ -107,6 +108,35 @@ class PoissonMG:
                 break
             m = mc
 
+        # fused Pallas SpMV on TPU for large-enough 2-D levels (the
+        # XLA banded path materializes shifted copies; see
+        # ops/pallas_stencil.py)
+        import os
+
+        if (
+            mesh.dim == 2
+            and os.environ.get("FLUCA_TPU_DISABLE_PALLAS") != "1"
+        ):
+            try:
+                from fluca_tpu.ops.pallas_stencil import (
+                    build_poisson_apply_2d,
+                    pallas_available,
+                )
+
+                if pallas_available():
+                    for lvl in self.levels:
+                        n0, n1 = lvl.mesh.N
+                        if (
+                            n0 * n1 >= 256 * 256
+                            and n0 % 8 == 0
+                            and n1 % 128 == 0
+                        ):
+                            lvl.pallas_apply = build_poisson_apply_2d(
+                                lvl
+                            )
+            except Exception:  # pragma: no cover - fallback to XLA
+                pass
+
         # coarse-level exact solve via dense pseudo-inverse on host
         coarse = self.levels[-1]
         n = int(np.prod(coarse.mesh.N))
@@ -120,6 +150,8 @@ class PoissonMG:
     # ------------------------------------------------------------------
     def _apply_level(self, lvl: _Level, p):
         """Shat p on one level: fused per-axis banded sweeps."""
+        if lvl.pallas_apply is not None:
+            return lvl.pallas_apply(p)
         mesh = lvl.mesh
         acc = None
         for d in range(mesh.dim):
