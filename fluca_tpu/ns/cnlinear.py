@@ -359,3 +359,37 @@ class CNLinearSolver:
             )
         t = jnp.asarray(t, self.dtype)
         return self._step_jit[is_first](state, t)
+
+    def multi_step(self, state, t, n: int):
+        """Production fast path: n non-first steps fused into one XLA
+        program via lax.scan (no host round-trip per step). Returns
+        (state, diag-of-last-step with worst-case rnorm/min
+        convergence across the batch)."""
+        if "scan" not in self._step_jit:
+
+            def run(state, t0, n):
+                def body(carry, _):
+                    st, tt = carry
+                    new, diag = self._step_impl(
+                        st, tt, is_first_step=False
+                    )
+                    return (new, tt + self.dt), (
+                        diag["ksp_iters"],
+                        diag["ksp_rnorm"],
+                        diag["converged"],
+                    )
+
+                (state, _), (its, rn, conv) = jax.lax.scan(
+                    body, (state, t0), None, length=n
+                )
+                return state, {
+                    "ksp_iters": its[-1],
+                    "ksp_rnorm": jnp.max(rn),
+                    "converged": jnp.all(conv),
+                }
+
+            self._step_jit["scan"] = jax.jit(
+                run, static_argnums=(2,), donate_argnums=(0,)
+            )
+        t = jnp.asarray(t, self.dtype)
+        return self._step_jit["scan"](state, t, int(n))

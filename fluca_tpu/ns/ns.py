@@ -147,6 +147,31 @@ class NS:
         self.step_index += 1
         self.t += self.dt
 
+    def advance(self, n: int) -> None:
+        """Advance n steps with the fused scan fast path (after the
+        first step). Monitors are not called inside the batch."""
+        self.setup()
+        if n <= 0:
+            return
+        if self.step_index == 0:
+            self.step()
+            n -= 1
+        if n > 0:
+            self.state, diag = self.impl.multi_step(
+                self.state, self.t, n
+            )
+            self.last_diag = diag
+            if not bool(diag["converged"]):
+                self.reason = NSConvergedReason.DIVERGED_NONLINEAR_SOLVE
+                if self.error_if_step_failed:
+                    raise RuntimeError(
+                        f"NS diverged within steps "
+                        f"{self.step_index}..{self.step_index + n}"
+                    )
+                return
+            self.step_index += n
+            self.t += n * self.dt
+
     def _check_finished(self) -> bool:
         if self.max_steps is not None and self.step_index >= self.max_steps:
             self.reason = NSConvergedReason.CONVERGED_ITS
