@@ -125,10 +125,10 @@ class CNLinearSolver:
         }
 
     # -- coupled operator & preconditioner ----------------------------
-    def _coupled_apply(self, x, U0, v0f):
+    def _coupled_apply(self, x, Acoeffs):
         ops = self.ops
         v, U, p = x["v"], x["U"], x["p"]
-        Av = ops.apply_A(v, U0, v0f)
+        Av = ops.apply_A_coeffs(v, Acoeffs)
         Gp = ops.apply_G(p)
         Tv = ops.apply_T(v)
         Rp = ops.apply_R(p)
@@ -150,12 +150,12 @@ class CNLinearSolver:
         mean = jnp.sum(vol * p) / jnp.sum(vol)
         return p - mean
 
-    def _solve_momentum(self, rhs_v, U0, v0f, diagA):
+    def _solve_momentum(self, rhs_v, Acoeffs, diagA):
         ops = self.ops
         inv_diag = tuple(1.0 / d for d in diagA)
 
         def A(v):
-            return ops.apply_A(v, U0, v0f)
+            return ops.apply_A_coeffs(v, Acoeffs)
 
         def M(r):
             return tuple(inv_diag[c] * r[c] for c in range(ops.dim))
@@ -166,7 +166,7 @@ class CNLinearSolver:
         )
         return res.x
 
-    def _ainv_diag(self, kind: str, U0, v0f, diagA):
+    def _ainv_diag(self, kind: str, Acoeffs, diagA):
         """1/Atilde as a per-component diagonal field, or None for
         identity. 'diag' uses diag(A); 'rowsum' uses A @ 1 (the
         lumped row-sum), both matrix-free (abfpc.c Atilde options)."""
@@ -179,13 +179,13 @@ class CNLinearSolver:
                 jnp.ones(self.mesh.cell_shape, self.dtype)
                 for _ in range(self.ops.dim)
             )
-            rs = self.ops.apply_A(ones, U0, v0f)
+            rs = self.ops.apply_A_coeffs(ones, Acoeffs)
             return tuple(
                 1.0 / jnp.where(r == 0, 1.0, r) for r in rs
             )
         raise ValueError(f"unknown ainv type {kind!r}")
 
-    def _solve_schur(self, rhs_p, U0=None, v0f=None, ainv1=None):
+    def _solve_schur(self, rhs_p, ainv1=None):
         """Solve Stilde p = rhs with CG+MG (Atilde1 = I, symmetric) or
         FGMRES+MG (diag/rowsum, nonsymmetric Stilde =
         -D T Atilde1^-1 G + D R = D T (I - Atilde1^-1) G - D Gst)."""
@@ -223,17 +223,17 @@ class CNLinearSolver:
         p = res.x
         return proj(p) if proj else p
 
-    def _abf_apply(self, r, U0, v0f, diagA):
+    def _abf_apply(self, r, Acoeffs, diagA):
         """PCApply_ABF (abfpc.c:48-111)."""
         ops = self.ops
-        ainv1 = self._ainv_diag(self.cfg.schur_ainv, U0, v0f, diagA)
-        ainv2 = self._ainv_diag(self.cfg.upper_ainv, U0, v0f, diagA)
-        vstar = self._solve_momentum(r["v"], U0, v0f, diagA)
+        ainv1 = self._ainv_diag(self.cfg.schur_ainv, Acoeffs, diagA)
+        ainv2 = self._ainv_diag(self.cfg.upper_ainv, Acoeffs, diagA)
+        vstar = self._solve_momentum(r["v"], Acoeffs, diagA)
         Tv = ops.apply_T(vstar)
         Ustar = tuple(r["U"][d] + Tv[d] for d in range(ops.dim))
         # rhs for Schur: contrhs - D U*
         rp = r["p"] - ops.apply_D(Ustar)
-        p = self._solve_schur(rp, U0, v0f, ainv1)
+        p = self._solve_schur(rp, ainv1=ainv1)
         Gp = ops.apply_G(p)
         if ainv2 is not None:
             Gp2 = tuple(ainv2[c] * Gp[c] for c in range(ops.dim))
@@ -316,14 +316,15 @@ class CNLinearSolver:
                 rhs["v"][c] + self.dt * f[c] for c in range(dim)
             )
         diagA = ops.diag_A(U0, v0f)
+        Acoeffs = ops.build_momentum_coeffs(U0, v0f)
 
         res = fgmres(
-            lambda x: self._coupled_apply(x, U0, v0f),
+            lambda x: self._coupled_apply(x, Acoeffs),
             rhs,
             rtol=self.cfg.rtol,
             restart=self.cfg.restart,
             maxiter=self.cfg.maxiter,
-            M=lambda r: self._abf_apply(r, U0, v0f, diagA),
+            M=lambda r: self._abf_apply(r, Acoeffs, diagA),
         )
         x = res.x
         dp = self._project_p(x["p"])

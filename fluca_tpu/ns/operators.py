@@ -257,6 +257,97 @@ class NSOperators:
             out.append(1.0 + self.dt * diagC - b * self.diag_L[c])
         return tuple(out)
 
+    # ------------------------------------------------------------------
+    # fast momentum path: per-step coefficient-field precompute
+    # ------------------------------------------------------------------
+    def build_momentum_coeffs(self, U0, v0f):
+        """Collapse A = I + dt C - (mu dt/2rho) L into dense
+        coefficient fields, once per step. Each subsequent A-apply is
+        then sum_off W_off * shift(v) — ~9 fused multiply-adds per
+        component instead of ~20 banded ops (the dominant inner-loop
+        cost of the BiCGStab momentum solves and the coupled FGMRES
+        operator)."""
+        dim = self.dim
+        dt = self.dt
+        b = 0.5 * self.mu * self.dt / self.rho
+        shape = self.mesh.cell_shape
+        selfc = [[None] * dim for _ in range(dim)]  # [c][d][off] fields
+        cross = [[None] * dim for _ in range(dim)]
+        for c in range(dim):
+            for d in range(dim):
+                lap = dict(self.l_bands[c][d])
+                wl1, wr1 = self.conv_w[d][c == d]
+                FlU, FrU = self._face_factors(U0[d], d)
+                wl2, wr2 = self.conv_w[d][True]
+                Flv, Frv = self._face_factors(v0f[d][c], d)
+                offs = sorted(
+                    set(lap)
+                    | set(wl1) | set(wr1) | set(wl2) | set(wr2)
+                )
+                S = {}
+                X = {}
+                for off in offs:
+                    s = None
+
+                    def acc(t, s=None):
+                        return t if s is None else s + t
+
+                    if off in lap:
+                        s = acc(-b * lap[off], s)
+                    if off in wl1:
+                        s = acc(dt * FlU * wl1[off], s)
+                    if off in wr1:
+                        s = acc(dt * FrU * wr1[off], s)
+                    x = None
+                    if off in wl2:
+                        x = acc(dt * Flv * wl2[off], x)
+                    if off in wr2:
+                        x = acc(dt * Frv * wr2[off], x)
+                    if c == d and x is not None:
+                        s = x if s is None else s + x
+                        x = None
+                    if s is not None:
+                        S[off] = jnp.broadcast_to(s, shape)
+                    if x is not None:
+                        X[off] = jnp.broadcast_to(x, shape)
+                if c == d or 0 not in S:
+                    S[0] = S.get(
+                        0, jnp.zeros(shape, self.dtype)
+                    )
+                selfc[c][d] = S
+                cross[c][d] = X
+        # identity contribution on the diagonal (once per component,
+        # fold into axis 0's center coefficient)
+        for c in range(dim):
+            selfc[c][0] = dict(selfc[c][0])
+            selfc[c][0][0] = selfc[c][0].get(
+                0, jnp.zeros(shape, self.dtype)
+            ) + 1.0
+        return {"self": selfc, "cross": cross}
+
+    def apply_A_coeffs(self, v, coeffs):
+        """A v via precomputed coefficient fields."""
+        dim = self.dim
+        out = []
+        for c in range(dim):
+            acc = None
+            for d in range(dim):
+                for off, w in coeffs["self"][c][d].items():
+                    t = w * shifted(
+                        v[c], d, off, self.mesh.N[d],
+                        self.mesh.periodic[d],
+                    )
+                    acc = t if acc is None else acc + t
+                if c != d:
+                    for off, w in coeffs["cross"][c][d].items():
+                        t = w * shifted(
+                            v[d], d, off, self.mesh.N[d],
+                            self.mesh.periodic[d],
+                        )
+                        acc = t if acc is None else acc + t
+            out.append(acc)
+        return tuple(out)
+
     def apply_B(self, v):
         """Interpolate cell vector to all faces -> face vector
         vf[d][c]."""

@@ -147,6 +147,137 @@ def build_poisson_apply_2d(level, *, tile_rows=128, interpret=False):
     return apply
 
 
+def build_poisson_apply_3d(level, *, tile_slabs=32, interpret=False):
+    """3-D variant: 7-point stencil, slab-tiled over the leading axis;
+    in-slab neighbor access via rolls along all three axes with edge
+    slabs supplying cross-tile rows (same strategy as 2-D)."""
+    mesh = level.mesh
+    assert mesh.dim == 3
+    N0, N1, N2 = mesh.N
+    per0 = mesh.periodic[0]
+    dtype = level.vol.dtype
+
+    def bands_1d(device_bands, n):
+        out = {}
+        for off, w in device_bands:
+            out[off] = np.asarray(w).reshape(-1)
+            assert out[off].shape == (n,)
+        z = np.zeros(n)
+        assert set(out) <= {-1, 0, 1}, set(out)
+        return out.get(-1, z), out.get(0, z), out.get(1, z)
+
+    b0 = bands_1d(level.dgst_bands[0], N0)
+    b1 = bands_1d(level.dgst_bands[1], N1)
+    b2 = bands_1d(level.dgst_bands[2], N2)
+    h0 = mesh.widths(0)
+    h1 = mesh.widths(1)
+    h2 = mesh.widths(2)
+    scale = float(np.asarray(level.vol)[0, 0, 0] / (h0[0] * h1[0] * h2[0]))
+
+    # separable factors: coeff for axis-a offset o at (i,j,k) =
+    # -scale * h0[i]h1[j]h2[k] * b_a_o[axis index] / h_a[axis index]
+    # ... equivalently (-scale*h_a*b_a_o) on the axis, times the other
+    # two widths.
+    A0 = np.stack([-scale * h0 * b for b in b0], 0)  # (3, N0)
+    A1 = np.stack([-scale * h1 * b for b in b1], 0)  # (3, N1)
+    A2 = np.stack([-scale * h2 * b for b in b2], 0)  # (3, N2)
+
+    TM = min(tile_slabs, N0)
+    while N0 % TM:
+        TM //= 2
+    ntiles = N0 // TM
+
+    a0 = jnp.asarray(A0, dtype)
+    h0j = jnp.asarray(h0, dtype)
+    a1 = jnp.asarray(A1 * h0[0] / h0[0], dtype)  # (3, N1)
+    h1j = jnp.asarray(h1, dtype)
+    a2 = jnp.asarray(A2, dtype)
+    h2j = jnp.asarray(h2, dtype)
+
+    def kernel(block, a0t, h0t, a1r, h1r, a2r, h2r, ue, de, out_ref):
+        p = block[...]  # (TM, N1, N2)
+        up = pltpu.roll(p, 1, 0)
+        dn = pltpu.roll(p, TM - 1, 0)
+        sl = jax.lax.broadcasted_iota(jnp.int32, (TM, N1, N2), 0)
+        up = jnp.where(sl == 0, ue[0], up)
+        dn = jnp.where(sl == TM - 1, de[0], dn)
+
+        c0m = a0t[0, :][:, None, None]
+        c00 = a0t[1, :][:, None, None]
+        c0p = a0t[2, :][:, None, None]
+        w12 = h1r[...][None, :, None] * h2r[...][None, None, :]
+        term0 = (c0m * up + c00 * p + c0p * dn) * w12
+
+        left = pltpu.roll(p, 1, 1)
+        right = pltpu.roll(p, N1 - 1, 1)
+        c1m = a1r[0, :][None, :, None]
+        c10 = a1r[1, :][None, :, None]
+        c1p = a1r[2, :][None, :, None]
+        w02 = h0t[0, :][:, None, None] * h2r[...][None, None, :]
+        term1 = (c1m * left + c10 * p + c1p * right) * w02
+
+        fwd = pltpu.roll(p, 1, 2)
+        bwd = pltpu.roll(p, N2 - 1, 2)
+        c2m = a2r[0, :][None, None, :]
+        c20 = a2r[1, :][None, None, :]
+        c2p = a2r[2, :][None, None, :]
+        w01 = h0t[0, :][:, None, None] * h1r[...][None, :, None]
+        term2 = (c2m * fwd + c20 * p + c2p * bwd) * w01
+
+        out_ref[...] = term0 + term1 + term2
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N0, N1, N2), dtype),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((TM, N1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TM), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a1 (3, N1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h1 (N1,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a2 (3, N2)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h2 (N2,)
+            pl.BlockSpec((1, 1, N1, N2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N1, N2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TM, N1, N2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=16 * N0 * N1 * N2,
+            bytes_accessed=2 * N0 * N1 * N2
+            * np.dtype(np.float32).itemsize,
+            transcendentals=0,
+        ),
+    )
+
+    h0r = h0j[None, :]  # (1, N0)
+
+    @jax.jit
+    def apply(p):
+        p4 = p.reshape(ntiles, TM, N1, N2)
+        ue = jnp.zeros((ntiles, N1, N2), dtype)
+        de = jnp.zeros((ntiles, N1, N2), dtype)
+        if ntiles > 1:
+            ue = ue.at[1:].set(p4[:-1, TM - 1])
+            de = de.at[:-1].set(p4[1:, 0])
+        if per0:
+            ue = ue.at[0].set(p[N0 - 1])
+            de = de.at[ntiles - 1].set(p[0])
+        ue = ue.reshape(ntiles, 1, N1, N2)
+        de = de.reshape(ntiles, 1, N1, N2)
+        return call(p, a0, h0r, a1, h1j, a2, h2j, ue, de)
+
+    return apply
+
+
 def pallas_available() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"

@@ -108,32 +108,47 @@ class PoissonMG:
                 break
             m = mc
 
-        # fused Pallas SpMV on TPU for large-enough 2-D levels (the
-        # XLA banded path materializes shifted copies; see
+        # fused Pallas SpMV on TPU for large-enough levels (the XLA
+        # banded path materializes shifted copies; see
         # ops/pallas_stencil.py)
         import os
 
-        if (
-            mesh.dim == 2
-            and os.environ.get("FLUCA_TPU_DISABLE_PALLAS") != "1"
-        ):
+        if os.environ.get("FLUCA_TPU_DISABLE_PALLAS") != "1":
             try:
                 from fluca_tpu.ops.pallas_stencil import (
                     build_poisson_apply_2d,
+                    build_poisson_apply_3d,
                     pallas_available,
                 )
 
                 if pallas_available():
                     for lvl in self.levels:
-                        n0, n1 = lvl.mesh.N
-                        if (
-                            n0 * n1 >= 256 * 256
-                            and n0 % 8 == 0
-                            and n1 % 128 == 0
-                        ):
+                        n = lvl.mesh.N
+                        if int(np.prod(n)) < 256 * 256:
+                            continue
+                        if mesh.dim == 2 and n[0] % 8 == 0:
                             lvl.pallas_apply = build_poisson_apply_2d(
                                 lvl
                             )
+                        elif (
+                            mesh.dim == 3
+                            and n[0] % 8 == 0
+                            and os.environ.get("FLUCA_TPU_PALLAS_3D")
+                            == "1"
+                        ):
+                            # opt-in until Mosaic-compile validated on
+                            # hardware (interpret-mode verified)
+                            # slab must fit VMEM with pipelining room
+                            budget = (12 << 20) // (16 * n[1] * n[2])
+                            tm = 8
+                            while tm * 2 <= min(budget, 64, n[0]):
+                                tm *= 2
+                            if n[0] % tm == 0:
+                                lvl.pallas_apply = (
+                                    build_poisson_apply_3d(
+                                        lvl, tile_slabs=tm
+                                    )
+                                )
             except Exception:  # pragma: no cover - fallback to XLA
                 pass
 
