@@ -33,6 +33,15 @@ class NSConvergedReason(enum.Enum):
 
 
 class NS:
+    # field names (reference: NS_FIELD_VELOCITY /
+    # NS_FIELD_FACE_NORMAL_VELOCITY / NS_FIELD_PRESSURE added in
+    # NSSetUp, nsbasic.c:180-182; the pressure-extrapolation state
+    # "PressureHalfStep" from cnlinear.c:146-153)
+    FIELD_VELOCITY = "v"
+    FIELD_FACE_NORMAL_VELOCITY = "U"
+    FIELD_PRESSURE = "p"
+    FIELD_PRESSURE_HALF_STEP = "phalf"
+
     def __init__(
         self,
         mesh: CartMesh,
@@ -84,27 +93,39 @@ class NS:
         if o.has("max_time"):
             self.max_time = o.get_real("max_time")
         self.ns_type = o.get_str("type", self.ns_type)
+        self.error_if_step_failed = o.get_bool(
+            "error_if_step_failed", self.error_if_step_failed
+        )
 
     def setup(self) -> None:
-        """Reference: NSSetUp (nsbasic.c:153-274)."""
+        """Reference: NSSetUp (nsbasic.c:153-274); instrumented like
+        the reference's NS_SetUp log event (nspkg.c:21-24)."""
         if self.impl is not None:
             return
         assert all(b is not None for b in self.bcs), (
             "all boundary conditions must be set before setup"
         )
-        cfg = CNLinearConfig.from_options(self.options)
-        factory = ns_registry.get(self.ns_type)
-        self.impl = factory(
-            self.mesh, self.bcs, self.rho, self.mu, self.dt,
-            cfg=cfg, dtype=self.dtype,
-        )
-        if self.state is None:
-            self.state = self.impl.zero_state()
+        from fluca_tpu.utils.profiling import global_log
+
+        with global_log.event("NS_SetUp"):
+            cfg = CNLinearConfig.from_options(self.options)
+            factory = ns_registry.get(self.ns_type)
+            self.impl = factory(
+                self.mesh, self.bcs, self.rho, self.mu, self.dt,
+                cfg=cfg, dtype=self.dtype,
+            )
+            if self.state is None:
+                self.state = self.impl.zero_state()
 
     # -- solution access ----------------------------------------------
     @property
     def solution(self):
         return self.state
+
+    def get_solution_sub(self, field: str):
+        """Reference: NSGetSolutionSubVector (nssol.c:44-128)."""
+        self.setup()
+        return self.state[field]
 
     def set_solution(self, v=None, U=None, p=None, phalf=None) -> None:
         self.setup()
@@ -129,11 +150,15 @@ class NS:
 
     # -- stepping ------------------------------------------------------
     def step(self) -> None:
-        """Reference: NSStep (nsbasic.c:276-299)."""
+        """Reference: NSStep (nsbasic.c:276-299), instrumented like
+        the NS_Step log event (nsbasic.c:284-286)."""
         self.setup()
-        self.state, diag = self.impl.step(
-            self.state, self.t, self.step_index
-        )
+        from fluca_tpu.utils.profiling import global_log
+
+        with global_log.event("NS_Step"):
+            self.state, diag = self.impl.step(
+                self.state, self.t, self.step_index
+            )
         self.last_diag = diag
         ok = bool(diag["converged"])
         if not ok:
