@@ -34,11 +34,11 @@ _initialized = False
 
 def initialize(argv=None):
     """Initialize the library (reference: FlucaInitialize,
-    fluca/src/sys/flucainit.c:7-26). Parses CLI options into the global
-    options database and registers built-in types."""
+    fluca/src/sys/flucainit.c:7-26). Parses CLI options into the
+    global options database and registers built-in types. An explicit
+    ``argv`` always refreshes the options database (so successive
+    in-process runs, e.g. tests, see their own flags)."""
     global _initialized
-    if _initialized:
-        return
     if argv is not None:
         set_global_options(Options.from_argv(argv))
     _initialized = True
