@@ -70,6 +70,10 @@ class CNLinearConfig:
     # abfpc.c:240-252); 'id' is the fractional-step limit
     schur_ainv: str = "id"      # id | diag | rowsum
     upper_ainv: str = "id"
+    # warm-start the coupled solve from the old velocity state
+    # (reference uses a zero initial guess, nsbasic.c:247-251; this
+    # changes only the iteration count, not the converged solution)
+    warm_start: bool = False
 
     @classmethod
     def from_options(cls, opts, prefix="ns_"):
@@ -318,9 +322,17 @@ class CNLinearSolver:
         diagA = ops.diag_A(U0, v0f)
         Acoeffs = ops.build_momentum_coeffs(U0, v0f)
 
+        x0 = None
+        if self.cfg.warm_start:
+            x0 = {
+                "v": sol0["v"],
+                "U": sol0["U"],
+                "p": jnp.zeros_like(sol0["p"]),
+            }
         res = fgmres(
             lambda x: self._coupled_apply(x, Acoeffs),
             rhs,
+            x0=x0,
             rtol=self.cfg.rtol,
             restart=self.cfg.restart,
             maxiter=self.cfg.maxiter,

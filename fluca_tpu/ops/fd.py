@@ -382,6 +382,54 @@ def fd_compose(outer: StencilOp, inner: StencilOp) -> StencilOp:
     return StencilOp(mesh, inner.in_stag, outer.out_stag, bands, const)
 
 
+def parse_loc(name: str, dim: int) -> tuple[bool, ...]:
+    """DMStag-style location names -> stag tuple: 'element', 'left'
+    (x-face), 'down' (y-face), 'back' (z-face) and '_'-combinations
+    (reference stencil locations, fdutils.c:15-33)."""
+    stag = [False] * dim
+    if name.lower() in ("element", "elem", ""):
+        return tuple(stag)
+    for part in name.lower().split("_"):
+        axis = {"left": 0, "down": 1, "back": 2}[part]
+        assert axis < dim, f"location {part} invalid in {dim}D"
+        stag[axis] = True
+    return tuple(stag)
+
+
+def fd_from_options(mesh: CartMesh, opts, prefix: str = "flucafd_"):
+    """Build an FD operator from the options database (reference:
+    FlucaFDSetFromOptions, fdopts.c:65-108 + per-type options:
+    -flucafd_type, -flucafd_dir, -flucafd_deriv_order,
+    -flucafd_accu_order, -flucafd_{input,output}_loc,
+    -flucafd_<boundary>_bc_type/_value, -flucafd_limiter)."""
+    o = opts.sub(prefix)
+    fd_type = o.get_str("type", "derivative")
+    dim = mesh.dim
+    names = ["left", "right", "down", "up", "back", "front"][: 2 * dim]
+    bcs = []
+    for n in names:
+        t = o.get_str(f"{n}_bc_type", "none").lower()
+        v = o.get_real(f"{n}_bc_value", 0.0)
+        bcs.append(FDBC(FDBCType(t), v))
+    in_loc = parse_loc(o.get_str("input_loc", "element"), dim)
+    out_loc = parse_loc(o.get_str("output_loc", "element"), dim)
+    direction = {"x": 0, "y": 1, "z": 2}[o.get_str("dir", "x").lower()]
+    if fd_type == "derivative":
+        return derivative(
+            mesh, direction,
+            o.get_int("deriv_order", 1), o.get_int("accu_order", 2),
+            in_stag=in_loc, out_stag=out_loc, bcs=bcs,
+        )
+    if fd_type == "secondordertvd":
+        from fluca_tpu.ops.tvd import TVDOp
+
+        return TVDOp(
+            mesh, direction, limiter=o.get_str("limiter", "vanleer"),
+            bcs=bcs,
+        )
+    raise ValueError(f"unknown flucafd type {fd_type!r}")
+
+
 class ScaledFieldOp:
     """Runtime scaling by a device field (reference:
     FlucaFDScaleSetVector, scale.c:256-329): apply = field ⊙ op(x).

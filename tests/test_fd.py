@@ -261,3 +261,38 @@ def test_apply_matches_dense():
     A = op.to_dense()
     out = np.asarray(op.apply(jnp.asarray(x), include_const=False))
     np.testing.assert_allclose(out.ravel(), A @ x.ravel(), atol=1e-10)
+
+
+# -- options-database construction (fdopts.c parity) -------------------
+def test_fd_from_options():
+    from fluca_tpu.ops.fd import fd_from_options, parse_loc
+    from fluca_tpu.ops.tvd import TVDOp
+    from fluca_tpu.utils.options import Options
+
+    m = mesh1d()
+    o = Options({
+        "flucafd_type": "derivative",
+        "flucafd_dir": "x",
+        "flucafd_deriv_order": "2",
+        "flucafd_accu_order": "2",
+        "flucafd_left_bc_type": "dirichlet",
+        "flucafd_left_bc_value": "1.0",
+    })
+    op = fd_from_options(m, o)
+    c = m.centers(0)
+    # quadratic with u(0)=1 (matching the bc) is reproduced exactly
+    u = lambda x: x**2 + 1.0
+    import jax.numpy as jnp
+
+    d2 = np.asarray(op.apply(jnp.asarray(u(c))))
+    np.testing.assert_allclose(d2[:4], 2.0, atol=1e-8)
+
+    m2 = CartMesh.create((8, 8))
+    m2.set_uniform_coordinates(0, 1, 0, 1)
+    assert parse_loc("down_left", 2) == (True, True)
+    assert parse_loc("element", 2) == (False, False)
+    tvd = fd_from_options(
+        m2, Options({"flucafd_type": "secondordertvd",
+                     "flucafd_dir": "y",
+                     "flucafd_limiter": "minmod"}))
+    assert isinstance(tvd, TVDOp)
