@@ -1,0 +1,121 @@
+"""Explicit halo exchange with shard_map + collective permutes.
+
+The GSPMD path (parallel/mesh.py) lets XLA infer halo communication
+from shifted-slice ops. This module is the explicit alternative — the
+direct TPU analogue of the reference's DMGlobalToLocal ghost scatters
+(fluca/src/mesh/impl/cart/cart.c:88-104, SURVEY.md §5): per-axis
+``lax.ppermute`` neighbor exchanges of boundary slabs into ghost
+layers, inside ``shard_map``. Used where communication scheduling must
+be controlled (overlapping halo transfers with interior compute in
+custom kernels) rather than left to GSPMD.
+
+Conventions: fields are sharded block-wise along grid axes; ghost
+layers of width w are appended on both sides of each sharded axis.
+Non-periodic global boundaries receive zeros (boundary-folded stencil
+coefficients are zero there by construction, matching ops/banded).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fluca_tpu.parallel.mesh import DeviceGrid
+
+
+def _axis_exchange(x, axis: int, axis_name: str, width: int,
+                   periodic: bool):
+    """Append ghost layers along ``axis`` filled from the neighbor
+    shards over mesh axis ``axis_name``."""
+    n_shards = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+
+    lo_slab = lax.slice_in_dim(x, 0, width, axis=axis)
+    hi_slab = lax.slice_in_dim(
+        x, x.shape[axis] - width, x.shape[axis], axis=axis
+    )
+
+    # send my high slab to the right neighbor (their left ghost) and
+    # my low slab to the left neighbor (their right ghost)
+    right = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    left = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    from_left = lax.ppermute(hi_slab, axis_name, right)
+    from_right = lax.ppermute(lo_slab, axis_name, left)
+
+    if not periodic:
+        zeros = jnp.zeros_like(lo_slab)
+        from_left = jnp.where(idx == 0, zeros, from_left)
+        from_right = jnp.where(idx == n_shards - 1, zeros, from_right)
+
+    return jnp.concatenate([from_left, x, from_right], axis=axis)
+
+
+def halo_exchange(grid: DeviceGrid, x, periodic, width: int = 1):
+    """shard_map'd ghost-layer fill: returns per-shard arrays extended
+    by ``width`` ghost cells on every sharded grid axis. ``periodic``
+    is a per-axis tuple. Must be called under ``grid.mesh``."""
+
+    spec = grid.cell_spec()
+
+    def body(xs):
+        for d in range(grid.dim):
+            xs = _axis_exchange(
+                xs, d, grid.axis_names[d], width, periodic[d]
+            )
+        return xs
+
+    return jax.shard_map(
+        body, mesh=grid.mesh, in_specs=spec, out_specs=spec
+    )(x)
+
+
+def stencil_apply_sharded(grid: DeviceGrid, bands_per_axis, x,
+                          periodic):
+    """Banded stencil apply with explicit halo exchange: each shard
+    exchanges one ghost layer per axis, then applies the (tridiagonal)
+    per-axis bands locally — the hand-scheduled equivalent of the
+    GSPMD path, with communication and compute visible for overlap.
+
+    ``bands_per_axis[d]`` is {offset in (-1,0,1): 1-D global
+    coefficient array of length N_d}.
+    """
+    spec = grid.cell_spec()
+    mesh = grid.mesh
+    dim = grid.dim
+
+    # shard the coefficient vectors along their axis
+    import numpy as np
+
+    band_arrays = []
+    for d in range(dim):
+        for off, w in sorted(bands_per_axis[d].items()):
+            band_arrays.append((d, off, jnp.asarray(w, x.dtype)))
+
+    def body(xs, *ws):
+        out = None
+        wi = 0
+        for d in range(dim):
+            xg = _axis_exchange(
+                xs, d, grid.axis_names[d], 1, periodic[d]
+            )
+            n = xs.shape[d]
+            for off in sorted(bands_per_axis[d]):
+                w = ws[wi]
+                wi += 1
+                shp = [1] * dim
+                shp[d] = -1
+                seg = lax.slice_in_dim(xg, 1 + off, 1 + off + n, axis=d)
+                t = w.reshape(shp) * seg
+                out = t if out is None else out + t
+        return out
+
+    in_specs = [spec] + [
+        P(grid.axis_names[d]) for d, _, _ in band_arrays
+    ]
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=tuple(in_specs), out_specs=spec
+    )(x, *[w for _, _, w in band_arrays])
