@@ -320,7 +320,10 @@ class CNLinearSolver:
                 rhs["v"][c] + self.dt * f[c] for c in range(dim)
             )
         diagA = ops.diag_A(U0, v0f)
-        Acoeffs = ops.build_momentum_coeffs(U0, v0f)
+        if ops.has_momentum_kernel:
+            Acoeffs = ops.build_momentum_coeffs_stacked(U0, v0f)
+        else:
+            Acoeffs = ops.build_momentum_coeffs(U0, v0f)
 
         x0 = None
         if self.cfg.warm_start:

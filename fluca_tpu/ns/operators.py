@@ -146,6 +146,34 @@ class NSOperators:
             for d in range(dim)
         ]
 
+        # optional fused Pallas momentum kernel (2-D, TPU): the kernel
+        # covers the tridiagonal part; the static +-2 boundary-row
+        # Laplacian terms (one-sided Dirichlet rows) are applied as a
+        # 2-row XLA fixup.
+        self._mom_kernel = None
+        self._mom_fixups = []  # (comp, axis, dst_idx, src_idx, coeff)
+        import os
+
+        if (
+            dim == 2
+            and os.environ.get("FLUCA_TPU_DISABLE_PALLAS") != "1"
+        ):
+            try:
+                from fluca_tpu.ops.pallas_stencil import (
+                    build_momentum_apply_2d,
+                    pallas_available,
+                )
+
+                if pallas_available() and mesh.N[0] % 8 == 0:
+                    self._mom_kernel = build_momentum_apply_2d(
+                        mesh.N[0], mesh.N[1],
+                        mesh.periodic[0], mesh.periodic[1], dtype,
+                    )
+            except Exception:  # pragma: no cover
+                self._mom_kernel = None
+        if dim == 2:
+            self._mom_fixups = self._build_momentum_fixups()
+
     # ------------------------------------------------------------------
     # slice helpers
     # ------------------------------------------------------------------
@@ -325,8 +353,68 @@ class NSOperators:
             ) + 1.0
         return {"self": selfc, "cross": cross}
 
+    def _build_momentum_fixups(self):
+        """Static +-2-offset boundary-row Laplacian terms excluded
+        from the tridiagonal fused kernel."""
+        b = 0.5 * self.mu * self.dt / self.rho
+        fixups = []
+        for c in range(self.dim):
+            for d in range(self.dim):
+                bands = {
+                    off: np.asarray(w).reshape(-1)
+                    for off, w in self.l_bands[c][d]
+                }
+                for off in (2, -2):
+                    if off not in bands:
+                        continue
+                    w1 = bands[off]
+                    for idx in np.nonzero(w1)[0]:
+                        fixups.append(
+                            (c, d, int(idx), int(idx + off),
+                             float(-b * w1[idx]))
+                        )
+        return fixups
+
+    def build_momentum_coeffs_stacked(self, U0, v0f):
+        """Pack the tridiagonal part of the coefficient fields into the
+        (18, N0, N1) layout of the fused momentum kernel (2-D)."""
+        C = self.build_momentum_coeffs(U0, v0f)
+        zeros = jnp.zeros(self.mesh.cell_shape, self.dtype)
+        order = [
+            (0, "self", 0), (0, "self", 1), (0, "cross", 1),
+            (1, "self", 0), (1, "self", 1), (1, "cross", 0),
+        ]
+        planes = []
+        for c, kind, d in order:
+            table = C[kind][c][d]
+            for off in (-1, 0, 1):
+                planes.append(table.get(off, zeros))
+        return jnp.stack(planes)
+
+    def apply_A_stacked(self, v, w_stack):
+        """Fused Pallas A-apply + static boundary-row fixups."""
+        out_u, out_v = self._mom_kernel(w_stack, v[0], v[1])
+        out = [out_u, out_v]
+        for c, d, dst, src, coeff in self._mom_fixups:
+            sl_dst = [slice(None)] * self.dim
+            sl_dst[d] = dst
+            sl_src = [slice(None)] * self.dim
+            sl_src[d] = src
+            out[c] = out[c].at[tuple(sl_dst)].add(
+                coeff * v[c][tuple(sl_src)]
+            )
+        return tuple(out)
+
+    @property
+    def has_momentum_kernel(self) -> bool:
+        return self._mom_kernel is not None
+
     def apply_A_coeffs(self, v, coeffs):
         """A v via precomputed coefficient fields."""
+        if isinstance(coeffs, jnp.ndarray) or not isinstance(
+            coeffs, dict
+        ):
+            return self.apply_A_stacked(v, coeffs)
         dim = self.dim
         out = []
         for c in range(dim):

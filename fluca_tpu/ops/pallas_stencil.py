@@ -278,6 +278,118 @@ def build_poisson_apply_3d(level, *, tile_slabs=32, interpret=False):
     return apply
 
 
+def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,
+                            *, tile_rows=64, interpret=False):
+    """Fused A-apply for the 2-D momentum block.
+
+    Computes, from an (18, N0, N1) stacked coefficient array W (built
+    once per step by NSOperators.build_momentum_coeffs_stacked):
+
+      out_u = sum_o W[0+o] u_xs(o) + W[3+o] u_ys(o) + W[6+o]  v_ys(o)
+      out_v = sum_o W[9+o] v_xs(o) + W[12+o] v_ys(o) + W[15+o] u_xs(o)
+
+    (o in {0,1,2} for offsets {-1,0,+1}; xs = shift along axis 0 via
+    sublane rolls + cross-tile edge rows, ys = lane rolls). Boundary
+    coefficient rows are zero for non-periodic wrap reads by
+    construction.
+    """
+    TM = min(tile_rows, N0)
+    while N0 % TM:
+        TM //= 2
+    ntiles = N0 // TM
+
+    def kernel(w, u, v, uue, ude, vue, vde, out_u, out_v):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TM, N1), 0)
+
+        def xshifts(p, ue, de):
+            up = pltpu.roll(p[...], 1, 0)
+            dn = pltpu.roll(p[...], TM - 1, 0)
+            up = jnp.where(rows == 0, ue[0], up)
+            dn = jnp.where(rows == TM - 1, de[0], dn)
+            return up, dn
+
+        def yshifts(p):
+            return (
+                pltpu.roll(p[...], 1, 1),
+                pltpu.roll(p[...], N1 - 1, 1),
+            )
+
+        uu = u[...]
+        vv = v[...]
+        u_up, u_dn = xshifts(u, uue, ude)
+        v_up, v_dn = xshifts(v, vue, vde)
+        u_l, u_r = yshifts(u)
+        v_l, v_r = yshifts(v)
+
+        out_u[...] = (
+            w[0] * u_up + w[1] * uu + w[2] * u_dn
+            + w[3] * u_l + w[4] * uu + w[5] * u_r
+            + w[6] * v_l + w[7] * vv + w[8] * v_r
+        )
+        out_v[...] = (
+            w[9] * v_up + w[10] * vv + w[11] * v_dn
+            + w[12] * v_l + w[13] * vv + w[14] * v_r
+            + w[15] * u_up + w[16] * uu + w[17] * u_dn
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((N0, N1), dtype),
+            jax.ShapeDtypeStruct((N0, N1), dtype),
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((18, TM, N1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, N1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, N1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, 1, N1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_specs=(
+            pl.BlockSpec((TM, N1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, N1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=40 * N0 * N1,
+            bytes_accessed=22 * N0 * N1
+            * np.dtype(np.float32).itemsize,
+            transcendentals=0,
+        ),
+    )
+
+    def edges(p):
+        p4 = p.reshape(ntiles, TM, N1)
+        ue = jnp.zeros((ntiles, N1), dtype)
+        de = jnp.zeros((ntiles, N1), dtype)
+        if ntiles > 1:
+            ue = ue.at[1:].set(p4[:-1, TM - 1, :])
+            de = de.at[:-1].set(p4[1:, 0, :])
+        if periodic0:
+            ue = ue.at[0].set(p[N0 - 1, :])
+            de = de.at[ntiles - 1].set(p[0, :])
+        return (
+            ue.reshape(ntiles, 1, N1),
+            de.reshape(ntiles, 1, N1),
+        )
+
+    @jax.jit
+    def apply(w_stack, u, v):
+        uue, ude = edges(u)
+        vue, vde = edges(v)
+        return call(w_stack, u, v, uue, ude, vue, vde)
+
+    return apply
+
+
 def pallas_available() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
