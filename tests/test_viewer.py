@@ -74,3 +74,30 @@ def test_ns_ascii_view():
     s = ns.view()
     assert "cnlinear" in s and "fgmres" in s and "ABF" in s
     assert "rho = 1" in s
+
+
+def test_ascii_viewer_writes(tmp_path, capsys):
+    from fluca_tpu.io.viewer import AsciiViewer
+
+    ns = setup_taylor_green_2d(N=8, nsteps=1, t_final=0.1)
+    v = AsciiViewer()
+    v.write_solution(ns)
+    out = capsys.readouterr().out
+    assert "step=0" in out and "|u|max=" in out
+    path = tmp_path / "log.txt"
+    v2 = AsciiViewer(str(path))
+    v2.write_solution(ns)
+    v2.write_solution(ns)
+    assert path.read_text().count("step=0") == 2
+
+
+def test_event_log():
+    from fluca_tpu.utils.profiling import EventLog
+
+    log = EventLog()
+    with log.event("X"):
+        pass
+    with log.event("X"):
+        pass
+    s = log.view()
+    assert "X" in s and log.counts["X"] == 2
