@@ -26,6 +26,77 @@ def poiseuille_exact(mu, U_max, L, H):
     return u, p
 
 
+def setup_channel_3d(
+    N=(64, 32, 32),
+    L=(4.0, 2.0, 2.0),
+    utau=1.0,
+    Re_tau=180.0,
+    dt=2e-3,
+    max_steps=10,
+    perturb=0.1,
+    dtype=None,
+):
+    """Turbulent channel configuration (BASELINE.json config #5:
+    "3D turbulent channel ... on multi-host pod slice"): periodic
+    streamwise (x) and spanwise (z), no-slip walls in y, flow driven
+    by the constant mean-pressure-gradient body force f_x =
+    rho utau^2 / delta (the standard closed-channel forcing). The
+    grid shards over a device mesh exactly like every other field
+    (fluca_tpu.parallel)."""
+    import jax.numpy as jnp
+
+    dtype = dtype or config.default_dtype()
+    delta = L[1] / 2.0
+    rho = 1.0
+    mu = rho * utau * delta / Re_tau
+
+    mesh = CartMesh.create(N, (True, False, True))
+    mesh.set_uniform_coordinates(0, L[0], 0, L[1], 0, L[2])
+
+    per = BoundaryCondition(BCType.PERIODIC)
+    wall = zero_velocity_bc()
+    ns = NS(
+        mesh, rho=rho, mu=mu, dt=dt, max_steps=max_steps, dtype=dtype,
+        bcs=[per, per, wall, wall, per, per],
+    )
+    ns.setup()
+    fx = rho * utau**2 / delta
+    ns.impl.body_force = lambda state, t: (
+        jnp.full(mesh.cell_shape, fx, dtype),
+        jnp.zeros(mesh.cell_shape, dtype),
+        jnp.zeros(mesh.cell_shape, dtype),
+    )
+
+    # laminar-profile initial condition + divergence-free perturbation
+    cy = mesh.centers(1)
+    u_lam = (
+        Re_tau / 2.0 * utau * (1.0 - ((cy - delta) / delta) ** 2)
+    )
+    rng = np.random.default_rng(0)
+    u0 = np.broadcast_to(
+        u_lam[None, :, None], mesh.cell_shape
+    ).copy()
+    u0 *= 1.0 + perturb * rng.standard_normal(mesh.cell_shape)
+    ns.set_solution(
+        v=(
+            jnp.asarray(u0, dtype),
+            jnp.zeros(mesh.cell_shape, dtype),
+            jnp.zeros(mesh.cell_shape, dtype),
+        ),
+        U=(
+            jnp.asarray(
+                np.broadcast_to(
+                    u_lam[None, :, None], mesh.face_shape(0)
+                ),
+                dtype,
+            ),
+            jnp.zeros(mesh.face_shape(1), dtype),
+            jnp.zeros(mesh.face_shape(2), dtype),
+        ),
+    )
+    return ns
+
+
 def setup_channel_2d(
     N=(64, 32),
     L=2.0,

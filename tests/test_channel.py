@@ -42,3 +42,21 @@ def test_poiseuille_develops_from_uniform():
     mid = u.shape[0] // 2
     err = np.max(np.abs(u[mid] - u_ex(cy))) / U_max
     assert err < 0.15, err
+
+
+def test_channel3d_driven_smoke():
+    """3-D body-force-driven channel: runs, stays finite, maintains
+    mean flow, divergence-free."""
+    from fluca_tpu.models.channel import setup_channel_3d
+    import numpy as np
+
+    ns = setup_channel_3d(N=(16, 16, 8), dt=5e-3, max_steps=4,
+                          perturb=0.05)
+    ns.solve()
+    u = np.asarray(ns.state["v"][0])
+    assert np.all(np.isfinite(u))
+    assert u.mean() > 1.0  # mean flow persists under forcing
+    # rtol-limited: the perturbed IC makes ||b|| large, so the
+    # continuity residual scales accordingly
+    div = np.asarray(ns.impl.ops.apply_D(ns.state["U"]))
+    assert np.max(np.abs(div)) < 1e-2
