@@ -34,7 +34,8 @@ from fluca_tpu.ops.banded import apply_axis_stencil, compose_axis_stencils
 class _Level:
     mesh: CartMesh
     dgst_bands: list  # per-axis composed D@Gst (cell->cell) bands
-    vol: jnp.ndarray
+    vol: jnp.ndarray  # scale * cell volumes (operator row weights)
+    cellvol: jnp.ndarray  # plain cell volumes (rhs symmetrization)
     inv_diag: jnp.ndarray  # 1 / diag(Shat)
     pallas_apply: object = None  # fused TPU kernel (set when eligible)
 
@@ -62,6 +63,7 @@ def _build_level(mesh: CartMesh, axbcs, scale: float, dtype) -> _Level:
         mesh=mesh,
         dgst_bands=dgst_bands,
         vol=jnp.asarray(scale * vol, dtype),
+        cellvol=jnp.asarray(vol, dtype),
         inv_diag=jnp.asarray(inv_diag, dtype),
     )
 
@@ -181,8 +183,11 @@ class PoissonMG:
         return self._apply_level(self.levels[0], p)
 
     def scale_rhs(self, r):
-        """vol-scale a raw -D Gst rhs to match Shat."""
-        return self.levels[0].vol * r
+        """Symmetrize the rhs to match Shat: Shat p = cellvol * r
+        solves (-scale * D Gst) p = r. (NOT vol = scale*cellvol — the
+        scale factor must act on the operator side only, otherwise it
+        cancels and the solve returns p off by 1/scale.)"""
+        return self.levels[0].cellvol * r
 
     # ------------------------------------------------------------------
     def _smooth(self, lvl, x, b, n):
