@@ -113,5 +113,40 @@ def main():
     )
 
 
+def cavity_throughput(N=256, steps=10, capped=True):
+    """Secondary metric: cavity timesteps/sec (run with --cavity)."""
+    import time
+
+    import numpy as np
+
+    from fluca_tpu.models.cavity import setup_cavity_2d
+    from fluca_tpu.ns.cnlinear import CNLinearConfig
+
+    ns = setup_cavity_2d(N=N, Re=100.0, dt=0.01, max_steps=steps + 1)
+    if capped:
+        ns.impl.cfg = CNLinearConfig(
+            rtol=1e-30, maxiter=3, restart=3, converged_skip=True
+        )
+    ns.step()
+    t0 = time.time()
+    ns.advance(steps)
+    np.asarray(ns.state["v"][0])
+    sps = steps / (time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "cavity_timesteps_per_sec",
+                "value": round(sps, 3),
+                "unit": f"steps/s ({N}x{N} f32, Re=100, "
+                        f"{'capped-3' if capped else 'rtol 1e-5'})",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--cavity" in sys.argv:
+        cavity_throughput()
+    else:
+        main()

@@ -55,3 +55,13 @@ def test_fsm_single_pass_runs_divergence_free():
     assert np.isfinite(ve) and ve / np.sqrt(2 * 16 * 16) < 0.05
     div = np.asarray(ns.impl.ops.apply_D(ns.state["U"]))
     assert np.max(np.abs(div)) < 1e-4
+
+
+def test_production_preset_accuracy():
+    """CNLinearConfig.production(): fixed budgets, full accuracy."""
+    cfg = CNLinearConfig.production()
+    e8, _ = run_tgv(8, 8, cfg)
+    e16, _ = run_tgv(16, 16, cfg)
+    assert e8 / e16 > 3.5
+    full8, _ = run_tgv(8, 8, CNLinearConfig())
+    assert abs(e8 - full8) < 0.02 * full8
