@@ -37,20 +37,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 from fluca_tpu.mesh.cart import CartMesh
 from fluca_tpu.ns.operators import NSOperators
-from fluca_tpu.solvers.krylov import (
-    bicgstab,
-    cg,
-    fgmres,
-    tree_add,
-    tree_sub,
-)
+from fluca_tpu.solvers.krylov import bicgstab, cg, fgmres, tree_sub
 from fluca_tpu.solvers.mg import PoissonMG
 from fluca_tpu.utils import config
 

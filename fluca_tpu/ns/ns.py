@@ -11,7 +11,6 @@ from __future__ import annotations
 import enum
 from typing import Callable, Optional
 
-import numpy as np
 
 from fluca_tpu.mesh.cart import CartMesh
 from fluca_tpu.ns.cnlinear import CNLinearConfig, CNLinearSolver

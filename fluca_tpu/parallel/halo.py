@@ -17,12 +17,10 @@ coefficients are zero there by construction, matching ops/banded).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from fluca_tpu.parallel.mesh import DeviceGrid
 

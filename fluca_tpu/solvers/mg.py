@@ -26,7 +26,6 @@ import numpy as np
 
 from fluca_tpu.mesh.cart import CartMesh
 from fluca_tpu.ns import tables as T_
-from fluca_tpu.ns.bc import BCType
 from fluca_tpu.ops.banded import apply_axis_stencil, compose_axis_stencils
 
 

@@ -24,7 +24,6 @@ from fluca_tpu.ops.fd import (
     FDBCType,
     ScaledFieldOp,
     derivative,
-    fd_compose,
     fd_scale,
     fd_sum,
 )
