@@ -37,6 +37,7 @@ class _Level:
     cellvol: jnp.ndarray  # plain cell volumes (rhs symmetrization)
     inv_diag: jnp.ndarray  # 1 / diag(Shat)
     pallas_apply: object = None  # fused TPU kernel (set when eligible)
+    cheb_lmax: object = None  # Chebyshev smoothing upper bound
 
 
 def _build_level(mesh: CartMesh, axbcs, scale: float, dtype) -> _Level:
@@ -93,9 +94,13 @@ class PoissonMG:
         omega: float = 0.8,
         max_levels: int = 16,
         coarse_size: int = 1024,
+        smoother: str = "jacobi",  # jacobi | chebyshev (comparable
+        # V-cycle quality at these settings; jacobi avoids the setup
+        # power iteration)
     ):
         axbcs = T_.axis_bcs(mesh, bcs)
         self.nu_pre, self.nu_post, self.omega = nu_pre, nu_post, omega
+        self.smoother = smoother
         self.levels: list[_Level] = []
         m = mesh
         while True:
@@ -153,6 +158,30 @@ class PoissonMG:
             except Exception:  # pragma: no cover - fallback to XLA
                 pass
 
+        # Chebyshev smoothing bounds: lambda_max of the
+        # Jacobi-preconditioned operator per level via power iteration
+        # (host-driven, setup time); smooth on [lmax/4, 1.05*lmax]
+        if smoother == "chebyshev":
+            rng = np.random.default_rng(12345)
+            for lvl in self.levels:
+                x = jnp.asarray(
+                    rng.standard_normal(lvl.mesh.cell_shape), dtype
+                )
+                lmax = 2.0
+                for _ in range(12):
+                    y = lvl.inv_diag * self._apply_level(lvl, x)
+                    nrm = float(jnp.linalg.norm(y.ravel()))
+                    if nrm == 0.0:
+                        break
+                    lmax = nrm / max(
+                        float(jnp.linalg.norm(x.ravel())), 1e-300
+                    )
+                    x = y / nrm
+                lvl.cheb_lmax = 1.05 * lmax
+        else:
+            for lvl in self.levels:
+                lvl.cheb_lmax = None
+
         # coarse-level exact solve via dense pseudo-inverse on host
         coarse = self.levels[-1]
         n = int(np.prod(coarse.mesh.N))
@@ -190,9 +219,35 @@ class PoissonMG:
 
     # ------------------------------------------------------------------
     def _smooth(self, lvl, x, b, n):
+        if self.smoother == "chebyshev" and lvl.cheb_lmax is not None:
+            return self._smooth_cheby(lvl, x, b, n)
         for _ in range(n):
             r = b - self._apply_level(lvl, x)
             x = x + self.omega * lvl.inv_diag * r
+        return x
+
+    def _smooth_cheby(self, lvl, x, b, n):
+        """Chebyshev(n) smoothing on [lmax/4, lmax] of the
+        Jacobi-preconditioned operator (standard three-term
+        recurrence); stronger high-frequency damping than damped
+        Jacobi for the same sweep count."""
+        lmax = lvl.cheb_lmax
+        lmin = lmax / 4.0
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        r = b - self._apply_level(lvl, x)
+        z = lvl.inv_diag * r
+        d = z / theta
+        x = x + d
+        for _ in range(1, n):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r = b - self._apply_level(lvl, x)
+            z = lvl.inv_diag * r
+            d = rho_new * rho * d + 2.0 * rho_new / delta * z
+            rho = rho_new
+            x = x + d
         return x
 
     @staticmethod

@@ -89,3 +89,24 @@ def test_mg_3d_smoke():
              M=mg.precondition, project=proj)
     assert bool(res.converged)
     assert int(res.iters) < 30
+
+
+def test_mg_chebyshev_smoother():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fluca_tpu.solvers.krylov import cg
+
+    m, _ = make_mg(32, periodic=False)
+    mg = PoissonMG(m, [zero_velocity_bc()] * 4, scale=1.0,
+                   dtype=jnp.float64, smoother="chebyshev")
+    rng = np.random.default_rng(3)
+    rhs = rng.standard_normal((32, 32))
+    rhs -= rhs.mean()
+
+    def proj(x):
+        return x - jnp.mean(x)
+
+    res = cg(mg.apply_op, mg.scale_rhs(jnp.asarray(rhs)), rtol=1e-8,
+             maxiter=100, M=mg.precondition, project=proj)
+    assert bool(res.converged) and int(res.iters) < 25
