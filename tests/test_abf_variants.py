@@ -20,13 +20,18 @@ def run_with(schur_ainv, upper_ainv):
     return np.asarray(ns.state["v"][0]), int(ns.last_diag["ksp_iters"])
 
 
+@pytest.fixture(scope="module")
+def u_id():
+    u, _ = run_with("id", "id")
+    return u
+
+
 @pytest.mark.parametrize(
     "schur,upper",
     [("diag", "id"), ("rowsum", "id"), ("diag", "diag"),
      ("rowsum", "rowsum")],
 )
-def test_variants_match_id(schur, upper):
-    u_id, _ = run_with("id", "id")
+def test_variants_match_id(schur, upper, u_id):
     u_var, iters = run_with(schur, upper)
     np.testing.assert_allclose(u_var, u_id, atol=2e-4)
     assert iters < 60
