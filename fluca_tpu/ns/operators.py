@@ -376,8 +376,10 @@ class NSOperators:
         return fixups
 
     def build_momentum_coeffs_stacked(self, U0, v0f):
-        """Pack the tridiagonal part of the coefficient fields into the
-        (18, N0, N1) layout of the fused momentum kernel (2-D)."""
+        """Pack the coefficient fields into the (26, N0, N1) layout of
+        the fused momentum kernel (2-D): 18 tridiagonal planes + 8
+        boundary-row +-2 planes (see
+        ops/pallas_stencil.build_momentum_apply_2d)."""
         C = self.build_momentum_coeffs(U0, v0f)
         zeros = jnp.zeros(self.mesh.cell_shape, self.dtype)
         order = [
@@ -389,21 +391,18 @@ class NSOperators:
             table = C[kind][c][d]
             for off in (-1, 0, 1):
                 planes.append(table.get(off, zeros))
+        for c in range(2):
+            for d in range(2):
+                table = C["self"][c][d]
+                for off in (-2, 2):
+                    planes.append(table.get(off, zeros))
         return jnp.stack(planes)
 
     def apply_A_stacked(self, v, w_stack):
-        """Fused Pallas A-apply + static boundary-row fixups."""
+        """Fused Pallas A-apply (boundary +-2 terms included in the
+        kernel planes)."""
         out_u, out_v = self._mom_kernel(w_stack, v[0], v[1])
-        out = [out_u, out_v]
-        for c, d, dst, src, coeff in self._mom_fixups:
-            sl_dst = [slice(None)] * self.dim
-            sl_dst[d] = dst
-            sl_src = [slice(None)] * self.dim
-            sl_src[d] = src
-            out[c] = out[c].at[tuple(sl_dst)].add(
-                coeff * v[c][tuple(sl_src)]
-            )
-        return tuple(out)
+        return (out_u, out_v)
 
     @property
     def has_momentum_kernel(self) -> bool:

@@ -282,21 +282,27 @@ def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,
                             *, tile_rows=64, interpret=False):
     """Fused A-apply for the 2-D momentum block.
 
-    Computes, from an (18, N0, N1) stacked coefficient array W (built
+    Computes, from a (26, N0, N1) stacked coefficient array W (built
     once per step by NSOperators.build_momentum_coeffs_stacked):
 
       out_u = sum_o W[0+o] u_xs(o) + W[3+o] u_ys(o) + W[6+o]  v_ys(o)
       out_v = sum_o W[9+o] v_xs(o) + W[12+o] v_ys(o) + W[15+o] u_xs(o)
+      + the one-sided boundary-row +-2 Laplacian terms:
+        W[18] u_xs(-2), W[19] u_xs(+2), W[20] u_ys(-2), W[21] u_ys(+2)
+        W[22] v_xs(-2), W[23] v_xs(+2), W[24] v_ys(-2), W[25] v_ys(+2)
 
     (o in {0,1,2} for offsets {-1,0,+1}; xs = shift along axis 0 via
     sublane rolls + cross-tile edge rows, ys = lane rolls). Boundary
     coefficient rows are zero for non-periodic wrap reads by
-    construction.
+    construction; the +-2 planes are nonzero only at global boundary
+    rows, whose reads stay within the first/last tile (TM >= 8), so
+    plain rolls suffice (wrapped garbage annihilated by zeros).
     """
     TM = min(tile_rows, N0)
     while N0 % TM:
         TM //= 2
     ntiles = N0 // TM
+    assert TM >= 4
 
     def kernel(w, u, v, uue, ude, vue, vde, out_u, out_v):
         rows = jax.lax.broadcasted_iota(jnp.int32, (TM, N1), 0)
@@ -320,16 +326,29 @@ def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,
         v_up, v_dn = xshifts(v, vue, vde)
         u_l, u_r = yshifts(u)
         v_l, v_r = yshifts(v)
+        # +-2 shifts (boundary-row one-sided terms only)
+        u_up2 = pltpu.roll(uu, 2, 0)
+        u_dn2 = pltpu.roll(uu, TM - 2, 0)
+        v_up2 = pltpu.roll(vv, 2, 0)
+        v_dn2 = pltpu.roll(vv, TM - 2, 0)
+        u_l2 = pltpu.roll(uu, 2, 1)
+        u_r2 = pltpu.roll(uu, N1 - 2, 1)
+        v_l2 = pltpu.roll(vv, 2, 1)
+        v_r2 = pltpu.roll(vv, N1 - 2, 1)
 
         out_u[...] = (
             w[0] * u_up + w[1] * uu + w[2] * u_dn
             + w[3] * u_l + w[4] * uu + w[5] * u_r
             + w[6] * v_l + w[7] * vv + w[8] * v_r
+            + w[18] * u_up2 + w[19] * u_dn2
+            + w[20] * u_l2 + w[21] * u_r2
         )
         out_v[...] = (
             w[9] * v_up + w[10] * vv + w[11] * v_dn
             + w[12] * v_l + w[13] * vv + w[14] * v_r
             + w[15] * u_up + w[16] * uu + w[17] * u_dn
+            + w[22] * v_up2 + w[23] * v_dn2
+            + w[24] * v_l2 + w[25] * v_r2
         )
 
     call = pl.pallas_call(
@@ -340,7 +359,7 @@ def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,
         ),
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((18, TM, N1), lambda i: (0, i, 0),
+            pl.BlockSpec((26, TM, N1), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, N1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -359,8 +378,8 @@ def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=40 * N0 * N1,
-            bytes_accessed=22 * N0 * N1
+            flops=56 * N0 * N1,
+            bytes_accessed=30 * N0 * N1
             * np.dtype(np.float32).itemsize,
             transcendentals=0,
         ),
