@@ -122,16 +122,21 @@ def cavity_throughput(N=256, steps=10, capped=True):
     from fluca_tpu.models.cavity import setup_cavity_2d
     from fluca_tpu.ns.cnlinear import CNLinearConfig
 
-    ns = setup_cavity_2d(N=N, Re=100.0, dt=0.01, max_steps=steps + 1)
+    ns = setup_cavity_2d(
+        N=N, Re=100.0, dt=0.01, max_steps=10 * steps + 1
+    )
     if capped:
-        ns.impl.cfg = CNLinearConfig(
-            rtol=1e-30, maxiter=3, restart=3, converged_skip=True
-        )
+        ns.impl.cfg = CNLinearConfig.production()
     ns.step()
-    t0 = time.time()
-    ns.advance(steps)
+    ns.advance(steps)  # compile the scan program
     np.asarray(ns.state["v"][0])
-    sps = steps / (time.time() - t0)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        ns.advance(steps)
+        np.asarray(ns.state["v"][0])
+        best = min(best, time.time() - t0)
+    sps = steps / best
     print(
         json.dumps(
             {
