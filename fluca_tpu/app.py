@@ -58,8 +58,15 @@ def main(argv=None) -> int:
 
         load_checkpoint(opts.get_str("load_checkpoint"), ns)
 
-    if opts.sub("ns_").get_bool("monitor"):
-        ns.add_monitor(monitor_default)
+    from fluca_tpu.io.viewer import AsciiViewer, create_viewer_from_options
+    from fluca_tpu.ns.monitor import set_monitors_from_options
+
+    set_monitors_from_options(
+        ns, opts,
+        writer_factory=lambda: create_viewer_from_options(
+            opts, "ns_monitor_solution_viewer", mesh=mesh
+        ) or AsciiViewer(),
+    )
 
     reason = ns.solve()
     print(f"done: {reason.name} at step {ns.step_index}, t={ns.t:g}")
