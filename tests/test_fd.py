@@ -296,3 +296,20 @@ def test_fd_from_options():
                      "flucafd_dir": "y",
                      "flucafd_limiter": "minmod"}))
     assert isinstance(tvd, TVDOp)
+
+
+def test_fourth_order_accuracy():
+    """accu_order=4 derivative converges at 4th order (the
+    arbitrary-accuracy claim of the derivative builder)."""
+    errs = []
+    for N in (16, 32):
+        m = mesh1d(N)
+        op = derivative(m, 0, 1, 4)
+        c = m.centers(0)
+        f = np.sin(2 * np.pi * c)
+        df = np.asarray(op.apply(jnp.asarray(f)))
+        exact = 2 * np.pi * np.cos(2 * np.pi * c)
+        # interior only (boundary one-sided rows are wider/one-sided)
+        errs.append(np.max(np.abs(df - exact)[3:-3]))
+    rate = errs[0] / errs[1]
+    assert rate > 12.0, rate  # 4th order -> 16
