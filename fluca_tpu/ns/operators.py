@@ -146,12 +146,10 @@ class NSOperators:
             for d in range(dim)
         ]
 
-        # optional fused Pallas momentum kernel (2-D, TPU): the kernel
-        # covers the tridiagonal part; the static +-2 boundary-row
-        # Laplacian terms (one-sided Dirichlet rows) are applied as a
-        # 2-row XLA fixup.
+        # optional fused Pallas momentum kernel (2-D, TPU); covers
+        # the tridiagonal part plus the +-2 boundary-row Laplacian
+        # planes (see ops/pallas_stencil.build_momentum_apply_2d)
         self._mom_kernel = None
-        self._mom_fixups = []  # (comp, axis, dst_idx, src_idx, coeff)
         import os
 
         if (
@@ -171,8 +169,6 @@ class NSOperators:
                     )
             except Exception:  # pragma: no cover
                 self._mom_kernel = None
-        if dim == 2:
-            self._mom_fixups = self._build_momentum_fixups()
 
     # ------------------------------------------------------------------
     # slice helpers
@@ -352,28 +348,6 @@ class NSOperators:
                 0, jnp.zeros(shape, self.dtype)
             ) + 1.0
         return {"self": selfc, "cross": cross}
-
-    def _build_momentum_fixups(self):
-        """Static +-2-offset boundary-row Laplacian terms excluded
-        from the tridiagonal fused kernel."""
-        b = 0.5 * self.mu * self.dt / self.rho
-        fixups = []
-        for c in range(self.dim):
-            for d in range(self.dim):
-                bands = {
-                    off: np.asarray(w).reshape(-1)
-                    for off, w in self.l_bands[c][d]
-                }
-                for off in (2, -2):
-                    if off not in bands:
-                        continue
-                    w1 = bands[off]
-                    for idx in np.nonzero(w1)[0]:
-                        fixups.append(
-                            (c, d, int(idx), int(idx + off),
-                             float(-b * w1[idx]))
-                        )
-        return fixups
 
     def build_momentum_coeffs_stacked(self, U0, v0f):
         """Pack the coefficient fields into the (26, N0, N1) layout of
