@@ -313,3 +313,13 @@ def test_fourth_order_accuracy():
         errs.append(np.max(np.abs(df - exact)[3:-3]))
     rate = errs[0] / errs[1]
     assert rate > 12.0, rate  # 4th order -> 16
+
+
+def test_derivative_3d():
+    m = CartMesh.create((6, 6, 6))
+    m.set_uniform_coordinates(0, 1, 0, 1, 0, 1)
+    dz = derivative(m, 2, 1, 2)
+    cz = m.centers(2)
+    Z = np.broadcast_to(cz[None, None, :], (6, 6, 6))
+    out = np.asarray(dz.apply(jnp.asarray(Z**2)))
+    np.testing.assert_allclose(out, 2 * Z, atol=1e-9)

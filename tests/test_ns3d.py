@@ -90,3 +90,17 @@ def test_cavity3d_with_symmetry_plane():
     assert np.max(np.abs(u)) < 1.5
     div = np.asarray(ns.impl.ops.apply_D(ns.state["U"]))
     assert np.max(np.abs(div)) < 1e-4
+
+
+def test_tgv3d_second_order_rate():
+    """2nd-order convergence in 3-D (extruded TGV)."""
+    errs = []
+    for N, nsteps in ((8, 4), (16, 8)):
+        ns, exact = setup_tgv_3d(N=N, nsteps=nsteps, t_final=0.2)
+        ns.solve()
+        cx, cy, cz = [ns.mesh.centers(d) for d in range(3)]
+        X, Y, _ = np.meshgrid(cx, cy, cz, indexing="ij")
+        ue, _, _ = exact(ns.t, X, Y)
+        u = np.asarray(ns.state["v"][0])
+        errs.append(np.sqrt(np.mean((u - ue) ** 2)))
+    assert errs[0] / errs[1] > 3.0, errs
