@@ -22,7 +22,6 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from fluca_tpu.models.cavity import setup_cavity_2d
     from fluca_tpu.ns.cnlinear import CNLinearConfig
     from fluca_tpu.parallel.mesh import make_device_grid, shard_state
 
@@ -43,9 +42,6 @@ def main():
         shape = tuple(grid.mesh.devices.shape)
         # weak scaling: grow the grid with the device mesh
         N = (base * shape[0], base * shape[1])
-        ns = setup_cavity_2d(N=max(N), Re=100.0, dt=0.01,
-                             max_steps=10**9)
-        # rebuild with the exact (possibly non-square) grid
         from fluca_tpu.mesh.cart import CartMesh
         from fluca_tpu.ns.bc import BoundaryCondition, BCType, \
             zero_velocity_bc
