@@ -34,10 +34,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def build_poisson_apply_2d(level, *, tile_rows=128, interpret=False):
-    """Returns f(p) computing vol .* (-(D Gst) p) for one MG level via
-    a fused Pallas kernel. Bands must be tridiagonal (offsets -1..1),
-    which gst/div composition guarantees."""
+def _build_poisson_2d(level, *, mode="apply", omega=0.8,
+                      tile_rows=128, interpret=False):
+    """Shared builder for the fused 2-D Poisson kernels.
+
+    mode="apply":    f(p)       = Shat p
+    mode="residual": f(p, b)    = b - Shat p
+    mode="smooth":   f(p, b, w) = p + omega * w * (b - Shat p)
+                     (one damped-Jacobi sweep; w = 1/diag(Shat))
+
+    All variants read each HBM tile exactly once — the residual and
+    smoother variants replace a Pallas apply followed by an XLA
+    elementwise pass (which re-reads Shat p, b, p, w from HBM) with a
+    single minimum-traffic kernel.
+    """
     mesh = level.mesh
     assert mesh.dim == 2
     N0, N1 = mesh.N
@@ -62,6 +72,13 @@ def build_poisson_apply_2d(level, *, tile_rows=128, interpret=False):
     RY = volrow
     CYb = np.stack([-hy * b for b in by], 0)  # (3, N1)
 
+    # the smoother holds 3 input tiles + out + roll temporaries in
+    # VMEM; halve the tile rows to stay under the 16 MB budget at
+    # large N1 (see CLAUDE.md VMEM note)
+    if mode == "smooth" and N1 >= 2048:
+        tile_rows = min(tile_rows, 64)
+    elif mode == "residual" and N1 >= 4096:
+        tile_rows = min(tile_rows, 64)
     TM = min(tile_rows, N0)
     while N0 % TM:
         TM //= 2
@@ -71,10 +88,12 @@ def build_poisson_apply_2d(level, *, tile_rows=128, interpret=False):
     ry = jnp.asarray(RY, dtype)
     cy = jnp.asarray(CY, dtype)
     cyb = jnp.asarray(CYb, dtype)
+    omega = float(omega)
 
-    def kernel(block, rxt, ryt, cy_ref, cyb_ref, ue, de, out_ref):
+    def kernel(block, rxt, ryt, cy_ref, cyb_ref, ue, de, *rest):
         # block: (TM, N1) tile of p; rxt: (3, TM) row coeffs for this
         # tile; ryt: (TM,); ue/de: (1, N1) edge rows
+        out_ref = rest[-1]
         p = block[...]
         up = pltpu.roll(p, 1, 0)
         dn = pltpu.roll(p, TM - 1, 0)
@@ -94,10 +113,18 @@ def build_poisson_apply_2d(level, *, tile_rows=128, interpret=False):
         cybm = cyb_ref[0, :][None, :]
         cyb0 = cyb_ref[1, :][None, :]
         cybp = cyb_ref[2, :][None, :]
-        yterm = ryv * (cybm * left + cyb0 * p + cybp * right)
+        sp = xterm + ryv * (cybm * left + cyb0 * p + cybp * right)
 
-        out_ref[...] = xterm + yterm
+        if mode == "apply":
+            out_ref[...] = sp
+        elif mode == "residual":
+            b_ref = rest[0]
+            out_ref[...] = b_ref[...] - sp
+        else:  # smooth
+            b_ref, w_ref = rest[0], rest[1]
+            out_ref[...] = p + omega * w_ref[...] * (b_ref[...] - sp)
 
+    n_extra = {"apply": 0, "residual": 1, "smooth": 2}[mode]
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N0, N1), dtype),
@@ -115,22 +142,26 @@ def build_poisson_apply_2d(level, *, tile_rows=128, interpret=False):
                          memory_space=pltpu.VMEM),  # up edges
             pl.BlockSpec((1, 1, N1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # down edges
+        ] + [
+            pl.BlockSpec((TM, N1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_extra)
         ],
         out_specs=pl.BlockSpec(
             (TM, N1), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=10 * N0 * N1,
-            bytes_accessed=2 * N0 * N1 * np.dtype(np.float32).itemsize,
+            flops=(10 + 3 * n_extra) * N0 * N1,
+            bytes_accessed=(2 + n_extra) * N0 * N1
+            * np.dtype(np.float32).itemsize,
             transcendentals=0,
         ),
     )
 
     ry2 = ry[None, :]  # (1, N0) so per-tile block is (1, TM)
 
-    @jax.jit
-    def apply(p):
+    def edges(p):
         p4 = p.reshape(ntiles, TM, N1)
         ue = jnp.zeros((ntiles, N1), dtype)
         de = jnp.zeros((ntiles, N1), dtype)
@@ -140,17 +171,83 @@ def build_poisson_apply_2d(level, *, tile_rows=128, interpret=False):
         if per0:
             ue = ue.at[0].set(p[N0 - 1, :])
             de = de.at[ntiles - 1].set(p[0, :])
-        ue = ue.reshape(ntiles, 1, N1)
-        de = de.reshape(ntiles, 1, N1)
-        return call(p, rx, ry2, cy, cyb, ue, de)
+        return (
+            ue.reshape(ntiles, 1, N1),
+            de.reshape(ntiles, 1, N1),
+        )
 
-    return apply
+    if mode == "apply":
+
+        @jax.jit
+        def apply(p):
+            ue, de = edges(p)
+            return call(p, rx, ry2, cy, cyb, ue, de)
+
+        return apply
+    if mode == "residual":
+
+        @jax.jit
+        def residual(p, b):
+            ue, de = edges(p)
+            return call(p, rx, ry2, cy, cyb, ue, de, b)
+
+        return residual
+
+    @jax.jit
+    def smooth(p, b, w):
+        ue, de = edges(p)
+        return call(p, rx, ry2, cy, cyb, ue, de, b, w)
+
+    return smooth
 
 
-def build_poisson_apply_3d(level, *, tile_slabs=32, interpret=False):
-    """3-D variant: 7-point stencil, slab-tiled over the leading axis;
-    in-slab neighbor access via rolls along all three axes with edge
-    slabs supplying cross-tile rows (same strategy as 2-D)."""
+def build_poisson_apply_2d(level, *, tile_rows=128, interpret=False):
+    """Returns f(p) computing vol .* (-(D Gst) p) for one MG level via
+    a fused Pallas kernel. Bands must be tridiagonal (offsets -1..1),
+    which gst/div composition guarantees."""
+    return _build_poisson_2d(level, mode="apply", tile_rows=tile_rows,
+                             interpret=interpret)
+
+
+def build_poisson_residual_2d(level, *, tile_rows=128,
+                              interpret=False):
+    """Returns f(p, b) computing b - Shat p in one fused pass."""
+    return _build_poisson_2d(level, mode="residual",
+                             tile_rows=tile_rows, interpret=interpret)
+
+
+def build_poisson_smooth_2d(level, omega, *, tile_rows=128,
+                            interpret=False):
+    """Returns f(p, b, w) = p + omega * w * (b - Shat p): one fused
+    damped-Jacobi sweep (w = 1/diag(Shat))."""
+    return _build_poisson_2d(level, mode="smooth", omega=omega,
+                             tile_rows=tile_rows, interpret=interpret)
+
+
+def _build_poisson_3d(level, *, mode="apply", omega=0.8,
+                      tile_slabs=16, interpret=False):
+    """Shared builder for the fused 3-D Poisson kernels (7-point).
+
+    Mosaic layout strategy (v5e-validated): the tile is (TM, N1, N2)
+    slabs; the kernel unrolls over the TM leading slabs and works on
+    2-D (N1, N2) planes only — sublane/lane rolls for the j/k
+    neighbors (exactly the proven 2-D pattern), plain leading-index
+    reads for the i neighbors (edge slabs supply cross-tile planes),
+    and per-slab SCALAR axis-0 coefficients read from SMEM. This
+    avoids the (1,TM)->(TM,1,1) vector shape cast that Mosaic's
+    infer-vector-layout rejects.
+
+    Separable coefficient planes are precomputed on host:
+      W1[o][j,k] = -scale*h1[j]*b1_o[j] * h2[k]     (axis-1 term)
+      W2[o][j,k] = h1[j] * -scale*h2[k]*b2_o[k]     (axis-2 term)
+      H12[j,k]   = h1[j]*h2[k]
+    so slab s contributes
+      out[s] = (c0m[s]*up + c00[s]*p + c0p[s]*dn) * H12
+             + h0[s] * (W1 rolls + W2 rolls)
+    with c0*[s] = -scale*h0[s]*b0_o[s].
+
+    mode="apply"/"residual"/"smooth" as in _build_poisson_2d.
+    """
     mesh = level.mesh
     assert mesh.dim == 3
     N0, N1, N2 = mesh.N
@@ -172,96 +269,110 @@ def build_poisson_apply_3d(level, *, tile_slabs=32, interpret=False):
     h0 = mesh.widths(0)
     h1 = mesh.widths(1)
     h2 = mesh.widths(2)
-    scale = float(np.asarray(level.vol)[0, 0, 0] / (h0[0] * h1[0] * h2[0]))
+    scale = float(
+        np.asarray(level.vol)[0, 0, 0] / (h0[0] * h1[0] * h2[0])
+    )
 
-    # separable factors: coeff for axis-a offset o at (i,j,k) =
-    # -scale * h0[i]h1[j]h2[k] * b_a_o[axis index] / h_a[axis index]
-    # ... equivalently (-scale*h_a*b_a_o) on the axis, times the other
-    # two widths.
     A0 = np.stack([-scale * h0 * b for b in b0], 0)  # (3, N0)
-    A1 = np.stack([-scale * h1 * b for b in b1], 0)  # (3, N1)
-    A2 = np.stack([-scale * h2 * b for b in b2], 0)  # (3, N2)
+    W1 = np.stack(
+        [(-scale * h1 * b)[:, None] * h2[None, :] for b in b1], 0
+    )  # (3, N1, N2)
+    W2 = np.stack(
+        [h1[:, None] * (-scale * h2 * b)[None, :] for b in b2], 0
+    )  # (3, N1, N2)
+    H12 = h1[:, None] * h2[None, :]  # (N1, N2)
 
-    TM = min(tile_slabs, N0)
+    # VMEM budget: blocked refs are double-buffered by the pipeline,
+    # so each TM-slab ref costs 2 tiles. Big refs: p + extras + out.
+    # Fixed planes: w1/w2 (6) + h12 (1) + edges (2 refs x 2 buffers)
+    # + ~6 roll/epilogue temporaries.
+    n_big = 2 + {"apply": 0, "residual": 1, "smooth": 2}[mode]
+    plane = N1 * N2 * np.dtype(np.float32).itemsize
+    budget = (14 << 20) - 17 * plane
+    tm_max = max(1, budget // (2 * n_big * plane))
+    TM = int(min(tile_slabs, tm_max, N0))
     while N0 % TM:
-        TM //= 2
+        TM -= 1
     ntiles = N0 // TM
 
-    a0 = jnp.asarray(A0, dtype)
-    h0j = jnp.asarray(h0, dtype)
-    a1 = jnp.asarray(A1 * h0[0] / h0[0], dtype)  # (3, N1)
-    h1j = jnp.asarray(h1, dtype)
-    a2 = jnp.asarray(A2, dtype)
-    h2j = jnp.asarray(h2, dtype)
+    a0 = jnp.asarray(A0, dtype)                     # (3, N0)
+    h0j = jnp.asarray(h0, dtype)                    # (N0,)
+    w1 = jnp.asarray(W1, dtype)
+    w2 = jnp.asarray(W2, dtype)
+    h12 = jnp.asarray(H12, dtype)
+    omega = float(omega)
 
-    def kernel(block, a0t, h0t, a1r, h1r, a2r, h2r, ue, de, out_ref):
-        p = block[...]  # (TM, N1, N2)
-        up = pltpu.roll(p, 1, 0)
-        dn = pltpu.roll(p, TM - 1, 0)
-        sl = jax.lax.broadcasted_iota(jnp.int32, (TM, N1, N2), 0)
-        up = jnp.where(sl == 0, ue[0], up)
-        dn = jnp.where(sl == TM - 1, de[0], dn)
+    def kernel(a0t, h0t, block, w1r, w2r, h12r, ue, de, *rest):
+        # a0t: (3, N0) SMEM scalars (full, indexed via program_id);
+        # h0t: (N0,) SMEM; block: (TM, N1, N2); w1r/w2r: (3, N1, N2);
+        # h12r: (N1, N2); ue/de: (1, N1, N2) edge planes
+        out_ref = rest[-1]
+        base = pl.program_id(0) * TM
+        w1m, w10, w1p = w1r[0], w1r[1], w1r[2]
+        w2m, w20, w2p = w2r[0], w2r[1], w2r[2]
+        h12v = h12r[...]
+        for s in range(TM):
+            p = block[s]
+            up = ue[0] if s == 0 else block[s - 1]
+            dn = de[0] if s == TM - 1 else block[s + 1]
+            c0m = a0t[0, base + s]
+            c00 = a0t[1, base + s]
+            c0p = a0t[2, base + s]
+            term0 = (c0m * up + c00 * p + c0p * dn) * h12v
 
-        c0m = a0t[0, :][:, None, None]
-        c00 = a0t[1, :][:, None, None]
-        c0p = a0t[2, :][:, None, None]
-        w12 = h1r[...][None, :, None] * h2r[...][None, None, :]
-        term0 = (c0m * up + c00 * p + c0p * dn) * w12
+            left = pltpu.roll(p, 1, 0)
+            right = pltpu.roll(p, N1 - 1, 0)
+            term1 = w1m * left + w10 * p + w1p * right
 
-        left = pltpu.roll(p, 1, 1)
-        right = pltpu.roll(p, N1 - 1, 1)
-        c1m = a1r[0, :][None, :, None]
-        c10 = a1r[1, :][None, :, None]
-        c1p = a1r[2, :][None, :, None]
-        w02 = h0t[0, :][:, None, None] * h2r[...][None, None, :]
-        term1 = (c1m * left + c10 * p + c1p * right) * w02
+            fwd = pltpu.roll(p, 1, 1)
+            bwd = pltpu.roll(p, N2 - 1, 1)
+            term2 = w2m * fwd + w20 * p + w2p * bwd
 
-        fwd = pltpu.roll(p, 1, 2)
-        bwd = pltpu.roll(p, N2 - 1, 2)
-        c2m = a2r[0, :][None, None, :]
-        c20 = a2r[1, :][None, None, :]
-        c2p = a2r[2, :][None, None, :]
-        w01 = h0t[0, :][:, None, None] * h1r[...][None, :, None]
-        term2 = (c2m * fwd + c20 * p + c2p * bwd) * w01
+            sp = term0 + h0t[base + s] * (term1 + term2)
+            if mode == "apply":
+                out_ref[s] = sp
+            elif mode == "residual":
+                out_ref[s] = rest[0][s] - sp
+            else:  # smooth
+                b_ref, w_ref = rest[0], rest[1]
+                out_ref[s] = p + omega * w_ref[s] * (b_ref[s] - sp)
 
-        out_ref[...] = term0 + term1 + term2
-
+    n_extra = {"apply": 0, "residual": 1, "smooth": 2}[mode]
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N0, N1, N2), dtype),
         grid=(ntiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # a0 (3, N0)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # h0 (N0,)
             pl.BlockSpec((TM, N1, N2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TM), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TM), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # a1 (3, N1)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # h1 (N1,)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # a2 (3, N2)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # h2 (N2,)
-            pl.BlockSpec((1, 1, N1, N2), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N1, N2), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 (3, N1, N2)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 (3, N1, N2)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h12 (N1, N2)
+            pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # up edge planes
+            pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # down edge planes
+        ] + [
+            pl.BlockSpec((TM, N1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_extra)
         ],
         out_specs=pl.BlockSpec(
-            (TM, N1, N2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (TM, N1, N2), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=16 * N0 * N1 * N2,
-            bytes_accessed=2 * N0 * N1 * N2
+            flops=(16 + 3 * n_extra) * N0 * N1 * N2,
+            bytes_accessed=(2 + n_extra) * N0 * N1 * N2
             * np.dtype(np.float32).itemsize,
             transcendentals=0,
         ),
     )
 
-    h0r = h0j[None, :]  # (1, N0)
-
-    @jax.jit
-    def apply(p):
+    def edges(p):
         p4 = p.reshape(ntiles, TM, N1, N2)
         ue = jnp.zeros((ntiles, N1, N2), dtype)
         de = jnp.zeros((ntiles, N1, N2), dtype)
@@ -271,11 +382,54 @@ def build_poisson_apply_3d(level, *, tile_slabs=32, interpret=False):
         if per0:
             ue = ue.at[0].set(p[N0 - 1])
             de = de.at[ntiles - 1].set(p[0])
-        ue = ue.reshape(ntiles, 1, N1, N2)
-        de = de.reshape(ntiles, 1, N1, N2)
-        return call(p, a0, h0r, a1, h1j, a2, h2j, ue, de)
+        return ue, de
 
-    return apply
+    if mode == "apply":
+
+        @jax.jit
+        def apply(p):
+            ue, de = edges(p)
+            return call(a0, h0j, p, w1, w2, h12, ue, de)
+
+        return apply
+    if mode == "residual":
+
+        @jax.jit
+        def residual(p, b):
+            ue, de = edges(p)
+            return call(a0, h0j, p, w1, w2, h12, ue, de, b)
+
+        return residual
+
+    @jax.jit
+    def smooth(p, b, w):
+        ue, de = edges(p)
+        return call(a0, h0j, p, w1, w2, h12, ue, de, b, w)
+
+    return smooth
+
+
+def build_poisson_apply_3d(level, *, tile_slabs=16, interpret=False):
+    """3-D fused 7-point Poisson apply (see _build_poisson_3d)."""
+    return _build_poisson_3d(level, mode="apply",
+                             tile_slabs=tile_slabs,
+                             interpret=interpret)
+
+
+def build_poisson_residual_3d(level, *, tile_slabs=16,
+                              interpret=False):
+    """Returns f(p, b) computing b - Shat p in one fused pass (3-D)."""
+    return _build_poisson_3d(level, mode="residual",
+                             tile_slabs=tile_slabs,
+                             interpret=interpret)
+
+
+def build_poisson_smooth_3d(level, omega, *, tile_slabs=16,
+                            interpret=False):
+    """Returns f(p, b, w) = p + omega*w*(b - Shat p) (3-D sweep)."""
+    return _build_poisson_3d(level, mode="smooth", omega=omega,
+                             tile_slabs=tile_slabs,
+                             interpret=interpret)
 
 
 def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,

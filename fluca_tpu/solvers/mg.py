@@ -37,6 +37,8 @@ class _Level:
     cellvol: jnp.ndarray  # plain cell volumes (rhs symmetrization)
     inv_diag: jnp.ndarray  # 1 / diag(Shat)
     pallas_apply: object = None  # fused TPU kernel (set when eligible)
+    pallas_residual: object = None  # fused b - Shat x
+    pallas_smooth: object = None  # fused damped-Jacobi sweep
     cheb_lmax: object = None  # Chebyshev smoothing upper bound
 
 
@@ -124,6 +126,10 @@ class PoissonMG:
                 from fluca_tpu.ops.pallas_stencil import (
                     build_poisson_apply_2d,
                     build_poisson_apply_3d,
+                    build_poisson_residual_2d,
+                    build_poisson_residual_3d,
+                    build_poisson_smooth_2d,
+                    build_poisson_smooth_3d,
                     pallas_available,
                 )
 
@@ -136,23 +142,28 @@ class PoissonMG:
                             lvl.pallas_apply = build_poisson_apply_2d(
                                 lvl
                             )
-                        elif (
-                            mesh.dim == 3
-                            and n[0] % 8 == 0
-                            and os.environ.get("FLUCA_TPU_PALLAS_3D")
-                            == "1"
-                        ):
-                            # opt-in until Mosaic-compile validated on
-                            # hardware (interpret-mode verified)
-                            # slab must fit VMEM with pipelining room
-                            budget = (12 << 20) // (16 * n[1] * n[2])
-                            tm = 8
-                            while tm * 2 <= min(budget, 64, n[0]):
-                                tm *= 2
-                            if n[0] % tm == 0:
-                                lvl.pallas_apply = (
-                                    build_poisson_apply_3d(
-                                        lvl, tile_slabs=tm
+                            lvl.pallas_residual = (
+                                build_poisson_residual_2d(lvl)
+                            )
+                            if smoother == "jacobi":
+                                lvl.pallas_smooth = (
+                                    build_poisson_smooth_2d(
+                                        lvl, omega
+                                    )
+                                )
+                        elif mesh.dim == 3:
+                            # the builders clamp the slab tile to the
+                            # VMEM budget (mode-aware) themselves
+                            lvl.pallas_apply = (
+                                build_poisson_apply_3d(lvl)
+                            )
+                            lvl.pallas_residual = (
+                                build_poisson_residual_3d(lvl)
+                            )
+                            if smoother == "jacobi":
+                                lvl.pallas_smooth = (
+                                    build_poisson_smooth_3d(
+                                        lvl, omega
                                     )
                                 )
             except Exception:  # pragma: no cover - fallback to XLA
@@ -221,10 +232,19 @@ class PoissonMG:
     def _smooth(self, lvl, x, b, n):
         if self.smoother == "chebyshev" and lvl.cheb_lmax is not None:
             return self._smooth_cheby(lvl, x, b, n)
+        if lvl.pallas_smooth is not None:
+            for _ in range(n):
+                x = lvl.pallas_smooth(x, b, lvl.inv_diag)
+            return x
         for _ in range(n):
             r = b - self._apply_level(lvl, x)
             x = x + self.omega * lvl.inv_diag * r
         return x
+
+    def _residual(self, lvl, x, b):
+        if lvl.pallas_residual is not None:
+            return lvl.pallas_residual(x, b)
+        return b - self._apply_level(lvl, x)
 
     def _smooth_cheby(self, lvl, x, b, n):
         """Chebyshev(n) smoothing on [lmax/4, lmax] of the
@@ -274,7 +294,7 @@ class PoissonMG:
             xf = jnp.matmul(self._coarse_pinv, b.ravel())
             return xf.reshape(lvl.mesh.cell_shape)
         x = self._smooth(lvl, x, b, self.nu_pre)
-        r = b - self._apply_level(lvl, x)
+        r = self._residual(lvl, x, b)
         rc = self._restrict(r, lvl.mesh.dim)
         ec = self._vcycle(li + 1, jnp.zeros_like(rc), rc)
         x = x + self._prolong(ec, lvl.mesh.dim)
