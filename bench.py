@@ -23,8 +23,12 @@ sys.path.insert(0, "/root/repo")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
-def slope_time_per_iter(fn, x, iters_lo=10, iters_hi=60):
-    """Seconds per application of fn, fixed overheads removed."""
+def slope_time_per_iter(fn, x, iters_lo=50, iters_hi=400, repeats=3):
+    """Seconds per application of fn, fixed overheads removed.
+
+    The iteration windows must be long enough that tunnel round-trip
+    jitter (~ms) is small against the device time (tens of ms), or the
+    slope swings wildly run to run — hence 50/400, not 10/60."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -38,7 +42,7 @@ def slope_time_per_iter(fn, x, iters_lo=10, iters_hi=60):
         )
         float(g(x))  # compile + warm
         best = float("inf")
-        for _ in range(2):
+        for _ in range(repeats):
             t0 = time.perf_counter()
             float(g(x))
             best = min(best, time.perf_counter() - t0)
@@ -113,8 +117,12 @@ def main():
     )
 
 
-def cavity_throughput(N=256, steps=10, capped=True):
-    """Secondary metric: cavity timesteps/sec (run with --cavity)."""
+def cavity_throughput(N=256, steps=50, capped=True):
+    """Secondary metric: cavity timesteps/sec (run with --cavity).
+
+    steps=50 so the one host sync per advance() amortizes below the
+    per-step cost (10-step batches under-report by ~2x through the
+    tunnel)."""
     import time
 
     import numpy as np
@@ -131,7 +139,7 @@ def cavity_throughput(N=256, steps=10, capped=True):
     ns.advance(steps)  # compile the scan program
     np.asarray(ns.state["v"][0])
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         ns.advance(steps)
         np.asarray(ns.state["v"][0])
