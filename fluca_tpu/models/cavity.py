@@ -1,5 +1,6 @@
 """Lid-driven cavity flow (reference:
-fluca/tests/cavity_flow/cavity_flow_2d.c and fluca/app/main.c)."""
+fluca/tests/cavity_flow/cavity_flow_2d.c, cavity_flow_3d.c and
+fluca/app/main.c)."""
 
 from __future__ import annotations
 
@@ -32,6 +33,45 @@ def setup_cavity_2d(
     ns = NS(
         mesh, rho=1.0, mu=1.0 / Re, dt=dt, max_steps=max_steps,
         dtype=dtype, bcs=[wall, wall, wall, lid], **ns_kwargs,
+    )
+    ns.setup()
+    return ns
+
+
+def setup_cavity_3d(
+    N=(64, 64, 32),
+    Re=100.0,
+    dt=1e-2,
+    max_steps=100,
+    lid_speed=1.0,
+    symmetry_back=True,
+    dtype=None,
+    **ns_kwargs,
+) -> NS:
+    """3-D lid-driven cavity: moving +y lid, walls elsewhere, with an
+    optional SYMMETRY plane at the high-z boundary (the reference's
+    half-depth configuration, cavity_flow_3d.c:30-39,61-76)."""
+    dtype = dtype or config.default_dtype()
+    if isinstance(N, int):
+        N = (N, N, N)
+    mesh = CartMesh.create(tuple(N))
+    mesh.set_uniform_coordinates(0.0, 1.0, 0.0, 1.0, 0.0, 1.0)
+
+    wall = zero_velocity_bc()
+    lid = BoundaryCondition(
+        BCType.VELOCITY,
+        velocity=lambda t, xs: (
+            lid_speed + 0.0 * xs[0], 0.0 * xs[0], 0.0 * xs[0],
+        ),
+    )
+    # boundary order: left,right,down,up,back,front = 0..5
+    # (MeshCartGetBoundaryIndex, cart.c:564-591)
+    bcs = [wall, wall, wall, lid, wall,
+           BoundaryCondition(BCType.SYMMETRY) if symmetry_back
+           else wall]
+    ns = NS(
+        mesh, rho=1.0, mu=1.0 / Re, dt=dt, max_steps=max_steps,
+        dtype=dtype, bcs=bcs, **ns_kwargs,
     )
     ns.setup()
     return ns

@@ -104,3 +104,16 @@ def test_tgv3d_second_order_rate():
         u = np.asarray(ns.state["v"][0])
         errs.append(np.sqrt(np.mean((u - ue) ** 2)))
     assert errs[0] / errs[1] > 3.0, errs
+
+
+def test_setup_cavity_3d_model():
+    """models.cavity.setup_cavity_3d builds the reference
+    cavity_flow_3d.c configuration (symmetry front plane) and steps."""
+    from fluca_tpu.models.cavity import setup_cavity_3d
+
+    ns = setup_cavity_3d(N=(8, 8, 4), Re=100.0, dt=0.05, max_steps=2)
+    ns.solve()
+    u = np.asarray(ns.state["v"][0])
+    assert np.all(np.isfinite(u))
+    div = np.asarray(ns.impl.ops.apply_D(ns.state["U"]))
+    assert np.max(np.abs(div)) < 1e-4
