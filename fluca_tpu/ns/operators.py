@@ -76,12 +76,15 @@ class NSOperators:
         for d in range(dim):
             st, lo, hi = T_.grad_cell_tables(mesh, d, axbcs[d])
             self.g_bands.append(dev(st))
-            self.g_bc.append((lo, hi))
+            # store bc coefficients as Python floats: numpy f64
+            # scalars are strong-typed in JAX and would promote the
+            # f32 bc vectors to f64 (scatter dtype mismatch)
+            self.g_bc.append((float(lo), float(hi)))
 
             for c in range(dim):
                 st, blo, bhi = T_.lap_tables(mesh, d, axbcs[d], c)
                 self.l_bands[c][d] = dev(st)
-                self.l_bc[c][d] = (blo, bhi)
+                self.l_bc[c][d] = (float(blo), float(bhi))
 
                 sti, ilo, ihi = T_.interp_tables(mesh, d, axbcs[d], c)
                 self.b_bands[d][c] = dev(sti)
@@ -89,7 +92,7 @@ class NSOperators:
 
             st, lo, hi = T_.gst_tables(mesh, d, axbcs[d])
             self.gst_bands.append(dev(st))
-            self.gst_bc.append((lo, hi))
+            self.gst_bc.append((float(lo), float(hi)))
             self.d_bands.append(dev(T_.div_tables(mesh, d)))
 
             variants = {}
