@@ -48,7 +48,7 @@ def main():
     print(f"platform={jax.devices()[0].platform} grid="
           f"{args.nx}x{args.ny} Re={args.re} dt={args.dt}", flush=True)
 
-    chunk = 200
+    chunk = max(1, min(200, max_steps - 2))
     ns.step()
     u_prev = np.asarray(ns.state["v"][0])
     t0 = time.time()
@@ -67,17 +67,29 @@ def main():
             break
     wall = time.time() - t0
 
+    # 2-D literature bands for ER=2 (Armaly et al. 1983 exp + 2-D
+    # computations incl. Gartling 1990 at Re=800, x_r = 6.10 H =
+    # 12.2 S); above Re~400 the experiment exceeds 2-D values due to
+    # three-dimensionality, so bands are the 2-D computational ones.
+    lit = {
+        100.0: (2.4, 3.6, "exp ~3.0, 2-D 2.8-3.2"),
+        200.0: (4.5, 5.9, "exp ~5.2, 2-D 4.9-5.4"),
+        400.0: (7.6, 9.3, "2-D 8.2-8.7 (exp ~8.9)"),
+        600.0: (9.5, 11.8, "2-D 10.3-11.0"),
+        800.0: (11.0, 13.4, "Gartling 12.2 (2-D)"),
+    }
+    band = lit.get(args.re)
     xr = reattachment_length(ns)
     result = {
         "re": args.re,
         "grid": [args.nx, args.ny],
         "x_r_over_S": round(xr / S, 3),
-        "literature": "2.8-3.1 (Re=100, ER=2, 2-D); Armaly exp ~3.0",
+        "literature": band[2] if band else "n/a for this Re",
         "t_final": round(float(ns.t), 2),
         "wall_s": round(wall, 1),
     }
     print(json.dumps(result), flush=True)
-    if args.re == 100.0 and not (2.4 <= xr / S <= 3.6):
+    if band and not (band[0] <= xr / S <= band[1]):
         print("OUT OF LITERATURE RANGE", flush=True)
         return 1
     print("OK", flush=True)
