@@ -158,8 +158,77 @@ def cavity_throughput(N=256, steps=50, capped=True):
     )
 
 
+def poisson3d_roofline(N=256):
+    """3-D 7-point kernel vs the same-pipeline copy roofline (run
+    with --poisson3d)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fluca_tpu.mesh.cart import CartMesh
+    from fluca_tpu.ns.bc import zero_velocity_bc
+    from fluca_tpu.solvers.mg import PoissonMG
+
+    dtype = jnp.float32
+    mesh = CartMesh.create((N, N, N))
+    mesh.set_uniform_coordinates(0, 1, 0, 1, 0, 1)
+    mg = PoissonMG(mesh, [zero_velocity_bc()] * 6, scale=1.0,
+                   dtype=dtype)
+    lvl = mg.levels[0]
+    spmv = (
+        lvl.pallas_apply
+        if lvl.pallas_apply is not None
+        else (lambda p: mg._apply_level(lvl, p))
+    )
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    TM = 8
+    if on_tpu:
+        copy_call = pl.pallas_call(
+            lambda a, o: o.__setitem__(..., a[...] * 1.0000001),
+            out_shape=jax.ShapeDtypeStruct((N, N, N), dtype),
+            grid=(N // TM,),
+            in_specs=[
+                pl.BlockSpec((TM, N, N), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((TM, N, N), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+    else:
+        copy_call = lambda a: a * 1.0000001
+
+    x = jnp.ones((N, N, N), dtype)
+    t_copy = slope_time_per_iter(copy_call, x, iters_lo=20,
+                                 iters_hi=150)
+    t_spmv = slope_time_per_iter(spmv, x, iters_lo=20, iters_hi=150)
+
+    bytes_moved = 2 * N**3 * np.dtype(np.float32).itemsize
+    gbps_copy = bytes_moved / t_copy / 1e9
+    gbps_spmv = bytes_moved / t_spmv / 1e9
+    frac = gbps_spmv / gbps_copy
+    print(
+        json.dumps(
+            {
+                "metric": "poisson3d_spmv_roofline_fraction",
+                "value": round(frac, 4),
+                "unit": (
+                    f"fraction of measured copy roofline "
+                    f"({gbps_copy:.0f} GB/s); spmv {gbps_spmv:.0f} "
+                    f"GB/s at {t_spmv*1e6:.0f} us/apply, {N}^3 f32"
+                ),
+                "vs_baseline": round(frac / 0.80, 4),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--cavity" in sys.argv:
         cavity_throughput()
+    elif "--poisson3d" in sys.argv:
+        poisson3d_roofline()
     else:
         main()

@@ -1,0 +1,89 @@
+"""Worker for the true multi-process test (tests/test_multiprocess.py).
+
+Each OS process owns one CPU device; jax.distributed connects them
+into one global runtime — the structural equivalent of one MPI rank
+per process in the reference (PetscInitialize -> MPI_Init,
+flucainit.c:14-18). Run: python multiproc_worker.py <pid> <nprocs>
+<coordinator>.
+"""
+
+import sys
+
+
+def main():
+    pid, nprocs, coord = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    )
+
+    import jax
+
+    # CPU platform must be pinned before the backend initializes
+    # (see CLAUDE.md platform-selection gotcha)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 1)
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=nprocs,
+        process_id=pid,
+    )
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fluca_tpu.parallel.halo import stencil_apply_sharded
+    from fluca_tpu.parallel.mesh import make_device_grid
+
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == nprocs
+
+    # 1-D device grid over both processes' devices; global array
+    # sharded across processes
+    grid = make_device_grid(1, jax.devices())
+    N = 16
+    n_local = N // nprocs
+    lo = pid * n_local
+    w = np.arange(1.0, N + 1.0)
+    bands_np = [{-1: w * 0.5, 0: -2.0 * w, 1: np.roll(w, -1) * 0.25}]
+
+    xg = np.arange(N, dtype=np.float64) ** 2
+    sharding = NamedSharding(grid.mesh, P("gx"))
+
+    # multi-process arrays are assembled from each process's LOCAL
+    # slice (no process holds the global array — the distributed
+    # analogue of DMStag ownership ranges)
+    def dist(arr):
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(arr[lo : lo + n_local])
+        )
+
+    xs = dist(xg)
+    bands = [
+        {off: dist(ww) for off, ww in bands_np[0].items()}
+    ]
+
+    with grid.mesh:
+        got = stencil_apply_sharded(grid, bands, xs, (True,))
+        psum_total = jax.jit(
+            lambda a: jnp.sum(a),
+            out_shardings=NamedSharding(grid.mesh, P()),
+        )(xs)
+
+    # single-process reference
+    ref = np.zeros(N)
+    for off, ww in bands_np[0].items():
+        ref += ww * np.roll(xg, -off)
+
+    local = np.asarray(
+        [s.data for s in got.addressable_shards][0]
+    ).ravel()
+    np.testing.assert_allclose(
+        local, ref[lo : lo + n_local], atol=1e-12
+    )
+    assert float(psum_total) == float(xg.sum())
+    print(f"proc {pid}/{nprocs}: OK shard[{lo}:{lo + n_local}]",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

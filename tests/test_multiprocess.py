@@ -1,0 +1,61 @@
+"""TRUE multi-process distributed test: two OS processes, one CPU
+device each, joined by jax.distributed — cross-process ppermute halo
+exchange and psum verified against the single-process reference.
+
+This closes the reference's biggest test-harness gap: its ctest
+runner parses `nsize` but runs every test on 1 MPI rank
+(fluca/cmake/FlucaTestUtils.cmake:109-111), so multi-rank behavior is
+never exercised in CI. Here the collectives really cross a process
+boundary (Gloo transport), exactly as they would cross hosts on a
+multi-host TPU deployment via jax.distributed.initialize
+(fluca_tpu.parallel.distributed).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.timeout(240)
+def test_two_process_halo_and_psum():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    # the worker pins the CPU platform itself (jax.config), so no
+    # platform env vars are needed here
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(REPO, "tests", "multiproc_worker.py"),
+                str(i), "2", coord,
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=200)
+            outs.append((p.returncode, out.decode()))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    for i, (rc, out) in enumerate(outs):
+        assert rc == 0, f"proc {i} failed:\n{out[-2000:]}"
+        assert f"proc {i}/2: OK" in out, out[-2000:]
