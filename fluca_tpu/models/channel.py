@@ -34,6 +34,7 @@ def setup_channel_3d(
     dt=2e-3,
     max_steps=10,
     perturb=0.1,
+    stretch_y=None,
     dtype=None,
 ):
     """Turbulent channel configuration (BASELINE.json config #5:
@@ -51,7 +52,22 @@ def setup_channel_3d(
     mu = rho * utau * delta / Re_tau
 
     mesh = CartMesh.create(N, (True, False, True))
-    mesh.set_uniform_coordinates(0, L[0], 0, L[1], 0, L[2])
+    if stretch_y is None:
+        mesh.set_uniform_coordinates(0, L[0], 0, L[1], 0, L[2])
+    else:
+        # tanh wall clustering in y (standard channel-DNS grid):
+        # y_j = delta (1 + tanh(g(2j/N - 1)) / tanh(g)); g ~ 1.5-2.5.
+        # The non-uniform coefficient tables handle this exactly
+        # (Vandermonde construction, reference derivative.c:84-107).
+        g = float(stretch_y)
+        xi = np.linspace(-1.0, 1.0, N[1] + 1)
+        if abs(g) < 1e-12:
+            fy = delta * (1.0 + xi)  # g -> 0 limit: uniform spacing
+        else:
+            fy = delta * (1.0 + np.tanh(g * xi) / np.tanh(g))
+        fx = np.linspace(0, L[0], N[0] + 1)
+        fz = np.linspace(0, L[2], N[2] + 1)
+        mesh.set_coordinates(fx, fy, fz)
 
     per = BoundaryCondition(BCType.PERIODIC)
     wall = zero_velocity_bc()

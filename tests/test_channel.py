@@ -95,3 +95,21 @@ def test_time_dependent_inflow():
     assert 0.3 < u[1].mean() < 1.8
     div = np.asarray(ns.impl.ops.apply_D(ns.state["U"]))
     assert np.max(np.abs(div)) < 1e-3
+
+
+def test_channel3d_wall_clustered_grid():
+    """tanh y-stretching (stretch_y) produces a wall-clustered grid
+    the non-uniform coefficient tables solve stably."""
+    import numpy as np
+
+    from fluca_tpu.models.channel import setup_channel_3d
+
+    ns = setup_channel_3d(N=(8, 16, 8), dt=0.005, max_steps=3,
+                          stretch_y=2.0, perturb=0.05)
+    ns.solve()
+    u = np.asarray(ns.state["v"][0])
+    assert np.all(np.isfinite(u))
+    wy = np.asarray(ns.mesh.widths(1))
+    # clustered: wall cells much thinner than center cells; symmetric
+    assert wy[0] < 0.2 * wy[len(wy) // 2]
+    np.testing.assert_allclose(wy, wy[::-1], rtol=1e-12)
