@@ -273,8 +273,13 @@ def fgmres(
             newly_done = jnp.abs(g[j + 1]) <= tol
             upd = jnp.logical_not(done)
 
-            V = jnp.where(upd, V.at[j + 1].set(Vnext), V)
-            Z = jnp.where(upd, Z.at[j].set(z), Z)
+            # select at the ROW level, not the whole buffer: a
+            # full-buffer jnp.where(upd, V.at[...].set(...), V) forces
+            # XLA to materialize a copy of the (m+1, n) basis every
+            # inner iteration; row-level selects keep the update an
+            # in-place dynamic-update-slice inside the while_loop
+            V = V.at[j + 1].set(jnp.where(upd, Vnext, V[j + 1]))
+            Z = Z.at[j].set(jnp.where(upd, z, Z[j]))
             H = jnp.where(upd, H.at[:, j].set(hcol), H)
             cs = jnp.where(upd, cs.at[j].set(c), cs)
             sn = jnp.where(upd, sn.at[j].set(s), sn)
