@@ -184,7 +184,11 @@ def poisson3d_roofline(N=256):
     )
 
     on_tpu = jax.devices()[0].platform == "tpu"
+    # TM must divide N or the grid misses trailing slabs (and the
+    # copy "roofline" would move fewer bytes than bytes_moved assumes)
     TM = 8
+    while N % TM:
+        TM -= 1
     if on_tpu:
         copy_call = pl.pallas_call(
             lambda a, o: o.__setitem__(..., a[...] * 1.0000001),

@@ -27,8 +27,15 @@ def main(argv=None) -> int:
     fluca_tpu.initialize(argv)
     opts = global_options()
 
-    # mesh from options or from checkpoint (main.c:35-48)
-    mesh = CartMesh.from_options(opts)
+    # mesh from options or from a CGNS file (main.c:36-48)
+    if opts.has("mesh_cart_create_from_file"):
+        from fluca_tpu.io.cgns import mesh_from_cgns
+
+        mesh = mesh_from_cgns(
+            opts.get_str("mesh_cart_create_from_file")
+        )
+    else:
+        mesh = CartMesh.from_options(opts)
 
     wall = zero_velocity_bc()
     lid = BoundaryCondition(
@@ -57,6 +64,15 @@ def main(argv=None) -> int:
         from fluca_tpu.io.checkpoint import load_checkpoint
 
         load_checkpoint(opts.get_str("load_checkpoint"), ns)
+
+    # solution restart from CGNS (main.c:84-88): restores all fields
+    # incl. phalf plus step/time metadata
+    if opts.has("ns_load_solution_from_file"):
+        from fluca_tpu.io.cgns import load_solution_cgns
+
+        load_solution_cgns(
+            opts.get_str("ns_load_solution_from_file"), ns
+        )
 
     from fluca_tpu.io.viewer import AsciiViewer, create_viewer_from_options
     from fluca_tpu.ns.monitor import set_monitors_from_options

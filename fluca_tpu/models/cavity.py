@@ -49,13 +49,16 @@ def setup_cavity_3d(
     **ns_kwargs,
 ) -> NS:
     """3-D lid-driven cavity: moving +y lid, walls elsewhere, with an
-    optional SYMMETRY plane at the high-z boundary (the reference's
-    half-depth configuration, cavity_flow_3d.c:30-39,61-76)."""
+    optional SYMMETRY plane at the low-z (BACK) boundary — the
+    reference's half-depth configuration: z in [0, 0.5], symmetry on
+    BACK (-z), wall on FRONT (+z)
+    (cavity_flow_3d.c:39-42,61-76; flucameshcart.h BACK=-z)."""
     dtype = dtype or config.default_dtype()
     if isinstance(N, int):
         N = (N, N, N)
     mesh = CartMesh.create(tuple(N))
-    mesh.set_uniform_coordinates(0.0, 1.0, 0.0, 1.0, 0.0, 1.0)
+    zmax = 0.5 if symmetry_back else 1.0
+    mesh.set_uniform_coordinates(0.0, 1.0, 0.0, 1.0, 0.0, zmax)
 
     wall = zero_velocity_bc()
     lid = BoundaryCondition(
@@ -65,10 +68,10 @@ def setup_cavity_3d(
         ),
     )
     # boundary order: left,right,down,up,back,front = 0..5
-    # (MeshCartGetBoundaryIndex, cart.c:564-591)
-    bcs = [wall, wall, wall, lid, wall,
+    # (MeshCartGetBoundaryIndex, cart.c:564-591); BACK is -z
+    bcs = [wall, wall, wall, lid,
            BoundaryCondition(BCType.SYMMETRY) if symmetry_back
-           else wall]
+           else wall, wall]
     ns = NS(
         mesh, rho=1.0, mu=1.0 / Re, dt=dt, max_steps=max_steps,
         dtype=dtype, bcs=bcs, **ns_kwargs,

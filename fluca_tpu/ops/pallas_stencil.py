@@ -289,6 +289,15 @@ def _build_poisson_3d(level, *, mode="apply", omega=0.8,
     n_big = 2 + {"apply": 0, "residual": 1, "smooth": 2}[mode]
     plane = N1 * N2 * np.dtype(np.float32).itemsize
     budget = (14 << 20) - 17 * plane
+    if budget <= 2 * n_big * plane:
+        # the fixed w1/w2/h12/edge planes (+1 slab per big ref) would
+        # blow the 16 MB VMEM: refuse at BUILD time so callers fall
+        # back to the XLA banded path instead of failing Mosaic
+        # compile lazily at first solve
+        raise ValueError(
+            f"poisson3d kernel: cross-section {N1}x{N2} exceeds the "
+            f"VMEM budget (mode={mode})"
+        )
     tm_max = max(1, budget // (2 * n_big * plane))
     TM = int(min(tile_slabs, tm_max, N0))
     while N0 % TM:

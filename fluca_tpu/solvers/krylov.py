@@ -205,6 +205,18 @@ def fgmres(
     bflat, unravel = ravel_pytree(b)
     n = bflat.shape[0]
     dtype = bflat.dtype
+    # Hard memory guard: the V/Z bases are dense (restart+1, n) and
+    # (restart, n) buffers (~(2*restart+1)*n words). At 512^3 f32 with
+    # restart 30 that is ~16 GB — past HBM. Refuse loudly instead of
+    # OOMing inside jit; production presets use restart <= 3 and the
+    # Schur/momentum solves use CG/BiCGStab (O(n) memory).
+    basis_bytes = (2 * restart + 1) * int(n) * jnp.dtype(dtype).itemsize
+    if basis_bytes > 8 << 30:
+        raise ValueError(
+            f"fgmres basis would need {basis_bytes / 2**30:.1f} GiB "
+            f"(restart={restart}, n={n}); lower the restart length "
+            f"(e.g. CNLinearConfig.production()) or use cg/bicgstab"
+        )
     x0 = tree_zeros_like(b) if x0 is None else x0
     x0flat, _ = ravel_pytree(x0)
 

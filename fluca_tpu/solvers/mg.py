@@ -138,34 +138,44 @@ class PoissonMG:
                         n = lvl.mesh.N
                         if int(np.prod(n)) < 256 * 256:
                             continue
-                        if mesh.dim == 2 and n[0] % 8 == 0:
-                            lvl.pallas_apply = build_poisson_apply_2d(
-                                lvl
-                            )
-                            lvl.pallas_residual = (
-                                build_poisson_residual_2d(lvl)
-                            )
-                            if smoother == "jacobi":
-                                lvl.pallas_smooth = (
-                                    build_poisson_smooth_2d(
-                                        lvl, omega
-                                    )
+                        # per-level try: an oversized level (e.g. a
+                        # cross-section past the VMEM budget, which
+                        # the 3-D builders reject at build time) must
+                        # not disable Pallas on the others
+                        try:
+                            if mesh.dim == 2 and n[0] % 8 == 0:
+                                lvl.pallas_apply = (
+                                    build_poisson_apply_2d(lvl)
                                 )
-                        elif mesh.dim == 3:
-                            # the builders clamp the slab tile to the
-                            # VMEM budget (mode-aware) themselves
-                            lvl.pallas_apply = (
-                                build_poisson_apply_3d(lvl)
-                            )
-                            lvl.pallas_residual = (
-                                build_poisson_residual_3d(lvl)
-                            )
-                            if smoother == "jacobi":
-                                lvl.pallas_smooth = (
-                                    build_poisson_smooth_3d(
-                                        lvl, omega
-                                    )
+                                lvl.pallas_residual = (
+                                    build_poisson_residual_2d(lvl)
                                 )
+                                if smoother == "jacobi":
+                                    lvl.pallas_smooth = (
+                                        build_poisson_smooth_2d(
+                                            lvl, omega
+                                        )
+                                    )
+                            elif mesh.dim == 3:
+                                # builders clamp the slab tile to the
+                                # VMEM budget (mode-aware) and raise
+                                # when even TM=1 cannot fit
+                                lvl.pallas_apply = (
+                                    build_poisson_apply_3d(lvl)
+                                )
+                                lvl.pallas_residual = (
+                                    build_poisson_residual_3d(lvl)
+                                )
+                                if smoother == "jacobi":
+                                    lvl.pallas_smooth = (
+                                        build_poisson_smooth_3d(
+                                            lvl, omega
+                                        )
+                                    )
+                        except Exception:  # pragma: no cover
+                            lvl.pallas_apply = None
+                            lvl.pallas_residual = None
+                            lvl.pallas_smooth = None
             except Exception:  # pragma: no cover - fallback to XLA
                 pass
 

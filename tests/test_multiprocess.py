@@ -16,12 +16,11 @@ import socket
 import subprocess
 import sys
 
-import pytest
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.timeout(240)
+# hang protection comes from p.communicate(timeout=...) below
+# (pytest-timeout is not installed; a mark would be a silent no-op)
 def test_two_process_halo_and_psum():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))

@@ -26,6 +26,30 @@ def test_viewer_option_parsing(tmp_path):
         create_viewer_from_options(Options({"x": "bogus:f"}), "x")
 
 
+def test_viewer_format_mode_parsing(tmp_path):
+    """Full type:filename:format:mode syntax (viewerbasic.c:24-92):
+    empty type defaults to ascii, unknown format/mode raise, write
+    mode truncates, append preserves."""
+    from fluca_tpu.io.viewer import parse_viewer_spec
+
+    assert parse_viewer_spec(":out.txt") == (
+        "ascii", "out.txt", "default", "write")
+    assert parse_viewer_spec("ascii:f:ascii_info:append") == (
+        "ascii", "f", "ascii_info", "append")
+    with pytest.raises(ValueError, match="format"):
+        parse_viewer_spec("ascii:f:bogusfmt")
+    with pytest.raises(ValueError, match="file mode"):
+        parse_viewer_spec("ascii:f:default:bogusmode")
+
+    path = tmp_path / "log.txt"
+    path.write_text("old\n")
+    v = create_viewer_from_options(
+        Options({"x": f"ascii:{path}:default:append"}), "x")
+    assert v.mode == "append" and path.read_text() == "old\n"
+    create_viewer_from_options(Options({"x": f"ascii:{path}"}), "x")
+    assert path.read_text() == ""  # FILE_MODE_WRITE truncates
+
+
 @pytest.mark.skipif(not HAVE_H5PY, reason="h5py unavailable")
 def test_cgns_viewer_from_options(tmp_path):
     ns = setup_taylor_green_2d(N=8, nsteps=1, t_final=0.1)
