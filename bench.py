@@ -36,8 +36,11 @@ def slope_time_per_iter(fn, x, iters_lo=50, iters_hi=400, repeats=3):
     ts = {}
     for iters in (iters_lo, iters_hi):
         g = jax.jit(
-            lambda x, it=iters: jnp.sum(
-                lax.fori_loop(0, it, lambda i, a: fn(a), x)
+            lambda x, it=iters: sum(
+                jnp.sum(leaf)
+                for leaf in jax.tree_util.tree_leaves(
+                    lax.fori_loop(0, it, lambda i, a: fn(a), x)
+                )
             )
         )
         float(g(x))  # compile + warm

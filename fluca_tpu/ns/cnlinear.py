@@ -257,10 +257,17 @@ class CNLinearSolver:
         rp = r["p"] - ops.apply_D(Ustar)
         p = self._solve_schur(rp, ainv1=ainv1)
         Gp = ops.apply_G(p)
-        if ainv2 is not None:
-            Gp2 = tuple(ainv2[c] * Gp[c] for c in range(ops.dim))
-        else:
-            Gp2 = Gp
+        if ainv2 is None:
+            # Atilde2 = I: -T G p + R p = -Gst p exactly (R = TG -
+            # Gst), so the U back-substitution collapses to one
+            # banded sweep instead of the T-G chain plus R
+            Gstp = ops.apply_Gst(p)
+            v = tuple(vstar[c] - Gp[c] for c in range(ops.dim))
+            U = tuple(
+                Ustar[d] - Gstp[d] for d in range(ops.dim)
+            )
+            return {"v": v, "U": U, "p": p}
+        Gp2 = tuple(ainv2[c] * Gp[c] for c in range(ops.dim))
         # U update: U* - (T Atilde2^-1 G - R) p, with R = T G - Gst
         TGp2 = ops.apply_T(Gp2)
         Rp = ops.apply_R(p)
@@ -340,6 +347,8 @@ class CNLinearSolver:
         diagA = ops.diag_A(U0, v0f)
         if ops.has_momentum_kernel:
             Acoeffs = ops.build_momentum_coeffs_stacked(U0, v0f)
+        elif ops.has_momentum_kernel3d:
+            Acoeffs = ops.build_momentum_factors_3d(U0, v0f)
         else:
             Acoeffs = ops.build_momentum_coeffs(U0, v0f)
 

@@ -34,7 +34,13 @@ from jax import lax
 from fluca_tpu.mesh.cart import CartMesh
 from fluca_tpu.ns import tables as T_
 from fluca_tpu.ns.bc import BCType, validate_bcs
-from fluca_tpu.ops.banded import apply_axis_stencil, shifted, _broadcast_1d
+from fluca_tpu.ops.banded import (
+    AxisStencil,
+    apply_axis_stencil,
+    compose_axis_stencils,
+    shifted,
+    _broadcast_1d,
+)
 
 
 def _bcast(w, ndim, axis, dtype):
@@ -68,8 +74,9 @@ class NSOperators:
         # interp (B rows) per (face axis, comp); insert flags
         self.b_bands = [[None] * dim for _ in range(dim)]
         self.b_insert = [[None] * dim for _ in range(dim)]
-        # Gst, D per axis
+        # Gst, D, composed R per axis
         self.gst_bands, self.gst_bc, self.d_bands = [], [], []
+        self.r_bands = []
         # convection weights per axis, for col_is_normal False/True
         self.conv_w = []
 
@@ -94,6 +101,25 @@ class NSOperators:
             self.gst_bands.append(dev(st))
             self.gst_bc.append((float(lo), float(hi)))
             self.d_bands.append(dev(T_.div_tables(mesh, d)))
+
+            # Rhie-Chow correction composed into ONE banded operator
+            # per axis: R_d = T_d ∘ G_d - Gst_d (all three act along
+            # axis d only, so the band product is exact). Replaces the
+            # three-sweep apply_G + apply_T + apply_Gst chain in every
+            # coupled apply (THEORY_GUIDE eq. 11).
+            g_st, _, _ = T_.grad_cell_tables(mesh, d, axbcs[d])
+            ti_st, _, _ = T_.interp_tables(mesh, d, axbcs[d], d)
+            comp = compose_axis_stencils(ti_st, g_st)
+            rb = {
+                off: np.array(w)
+                for off, w in comp.as_dict().items()
+            }
+            for off, w in st.as_dict().items():
+                rb[off] = rb.get(off, np.zeros(mesh.nfaces(d))) - w
+            r_st = AxisStencil.from_dict(
+                d, mesh.nfaces(d), mesh.periodic[d], rb
+            )
+            self.r_bands.append(dev(r_st))
 
             variants = {}
             for col_is_normal in (False, True):
@@ -153,6 +179,10 @@ class NSOperators:
         # the tridiagonal part plus the +-2 boundary-row Laplacian
         # planes (see ops/pallas_stencil.build_momentum_apply_2d)
         self._mom_kernel = None
+        # 3-D fused A-apply: coefficients formed in-kernel from the
+        # 1-D bands + face-factor fields (build_momentum_apply_3d);
+        # (prep, apply) pair, or None -> XLA banded path
+        self._mom_kernel3d = None
         import os
 
         if (
@@ -172,6 +202,23 @@ class NSOperators:
                     )
             except Exception:  # pragma: no cover
                 self._mom_kernel = None
+        elif (
+            dim == 3
+            and os.environ.get("FLUCA_TPU_DISABLE_PALLAS") != "1"
+        ):
+            try:
+                from fluca_tpu.ops.pallas_stencil import (
+                    build_momentum_apply_3d,
+                    pallas_available,
+                )
+
+                if pallas_available():
+                    self._mom_kernel3d = build_momentum_apply_3d(
+                        mesh, axbcs, self.rho, self.mu, self.dt,
+                        dtype,
+                    )
+            except Exception:  # pragma: no cover
+                self._mom_kernel3d = None
 
     # ------------------------------------------------------------------
     # slice helpers
@@ -385,8 +432,18 @@ class NSOperators:
     def has_momentum_kernel(self) -> bool:
         return self._mom_kernel is not None
 
+    @property
+    def has_momentum_kernel3d(self) -> bool:
+        return self._mom_kernel3d is not None
+
+    def build_momentum_factors_3d(self, U0, v0f):
+        """Per-step face-factor prep for the fused 3-D A-apply."""
+        return self._mom_kernel3d[0](U0, v0f)
+
     def apply_A_coeffs(self, v, coeffs):
         """A v via precomputed coefficient fields."""
+        if isinstance(coeffs, dict) and "FU" in coeffs:
+            return self._mom_kernel3d[1](v, coeffs)
         if isinstance(coeffs, jnp.ndarray) or not isinstance(
             coeffs, dict
         ):
@@ -462,11 +519,18 @@ class NSOperators:
     def apply_R(self, p):
         """Rhie-Chow correction R p = T G p - Gst p (THEORY_GUIDE
         eq. 11; assembled as negR = -T G + Gst in
-        cnlinearcart2d.c:2035-2036)."""
-        Gp = self.apply_G(p)
-        TGp = self.apply_T(Gp)
-        Gstp = self.apply_Gst(p)
-        return tuple(TGp[d] - Gstp[d] for d in range(self.dim))
+        cnlinearcart2d.c:2035-2036). Applied via the per-axis
+        composed bands (one fused banded sweep per axis instead of
+        the G, T, Gst chain)."""
+        s = self.dt / self.rho
+        return tuple(
+            s
+            * apply_axis_stencil(
+                self.r_bands[d], p, d, self.mesh.nfaces(d),
+                self.mesh.periodic[d],
+            )
+            for d in range(self.dim)
+        )
 
     def apply_DGst(self, p):
         """D Gst p — the pressure-Poisson operator (times dt/rho).

@@ -577,3 +577,393 @@ def pallas_available() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+# ======================================================================
+# Fused 3-D momentum A-apply
+# ======================================================================
+#
+# Computes A v = v + dt C(U0, v0f) v - (mu dt / 2 rho) L v (the
+# momentum block of cnlinearcart3d.c's coupled system) in ONE pass.
+# Unlike the 2-D kernel (which reads 26 precomputed dense coefficient
+# planes), coefficients are formed IN-KERNEL from:
+#   - per-axis 1-D bands (Laplacian x 3 components, convection
+#     tang/norm variants), held in SMEM (axis 0) / broadcast from
+#     small VMEM arrays (axes 1, 2), and
+#   - the per-step face-factor fields: U0 (3 face arrays) and
+#     v0f[d][c] (9 face arrays), passed as cell-shaped LO slices with
+#     the HI factor derived by roll + boundary patch.
+# Traffic per apply: 3 v reads + 12 factor reads + 3 writes = 18
+# streams, vs ~63 dense coefficient planes for a stacked-plane design
+# (the reason 3-D stayed on XLA in round 1).
+#
+# Band row packing (shared by all three axes):
+#   lap rows   L(c, off) = c*5 + off+2            (off in -2..2)
+#   conv rows  CV(var, lr, off) = 15 + var*6 + lr*3 + off+1
+#     var: 0 = tangential variant (col_is_normal=False),
+#          1 = normal variant; lr: 0 = low face (wl), 1 = high (wr)
+# Laplacian rows carry -(mu dt / 2 rho); conv rows carry dt.
+
+
+def _mom3d_L(c, off):
+    return c * 5 + off + 2
+
+
+def _mom3d_CV(var, lr, off):
+    return 15 + var * 6 + lr * 3 + off + 1
+
+
+_MOM3D_NROWS = 27
+
+
+def build_momentum_bands_3d(mesh, axbcs, rho, mu, dt):
+    """(B0, B1, B2) packed numpy band arrays, one per axis."""
+    from fluca_tpu.ns import tables as T_
+
+    b = 0.5 * mu * dt / rho
+    out = []
+    for a in range(mesh.dim):
+        B = np.zeros((_MOM3D_NROWS, mesh.N[a]))
+        for c in range(mesh.dim):
+            st, _, _ = T_.lap_tables(mesh, a, axbcs[a], c)
+            for off, w in st.as_dict().items():
+                B[_mom3d_L(c, off)] = -b * np.asarray(w)
+        for var in (0, 1):
+            wl, wr = T_.conv_tables(mesh, a, axbcs[a], bool(var))
+            for lr, wd in enumerate((wl, wr)):
+                for off, w in wd.items():
+                    B[_mom3d_CV(var, lr, off)] = dt * np.asarray(w)
+        out.append(B)
+    return out
+
+
+def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
+                            *, tile_slabs=8, interpret=False):
+    """Returns (prep, apply):
+      factors = prep(U0, v0f)   -- once per step (inside the jitted
+                                   step program)
+      Av      = apply(v, factors)
+
+    Raises ValueError when the grid does not fit the kernel's
+    alignment/VMEM constraints (callers fall back to the XLA path).
+    """
+    N0, N1, N2 = mesh.N
+    per = mesh.periodic
+    if N0 < 8 or N1 % 8 or N2 % 128:
+        raise ValueError("momentum3d kernel: unaligned grid")
+
+    # VMEM: 18 blocked big refs (double-buffered) + fixed edge/patch
+    # planes (~30) + roll temporaries (~12)
+    plane = N1 * N2 * np.dtype(np.float32).itemsize
+    budget = (14 << 20) - 42 * plane
+    tm_max = budget // (36 * plane)
+    if tm_max < 1:
+        raise ValueError(
+            f"momentum3d kernel: cross-section {N1}x{N2} exceeds VMEM"
+        )
+    TM = int(min(tile_slabs, tm_max, N0))
+    while N0 % TM:
+        TM -= 1
+    ntiles = N0 // TM
+
+    B0, B1, B2 = build_momentum_bands_3d(mesh, axbcs, rho, mu, dt)
+    b0 = jnp.asarray(B0, dtype)   # SMEM (27, N0)
+    b1 = jnp.asarray(B1, dtype)   # VMEM (27, N1)
+    b2 = jnp.asarray(B2, dtype)   # VMEM (27, N2)
+
+    # Band-content-driven skipping: every roll/patch whose
+    # coefficients are identically zero for this grid/BC combination
+    # is elided at trace time (e.g. periodic axes have no one-sided
+    # +-2 Laplacian rows; VELOCITY boundaries zero the boundary-face
+    # convection row, making the hi-factor patch a no-op).
+    def _nz(B, r, i=None):
+        w = B[r] if i is None else B[r][i]
+        return bool(np.any(w != 0.0))
+
+    p2_used = [_nz(B0, _mom3d_L(c, 2)) for c in range(3)]
+    m2_used = [_nz(B0, _mom3d_L(c, -2)) for c in range(3)]
+    l2m_used = [_nz(B1, _mom3d_L(c, -2)) for c in range(3)]
+    l2p_used = [_nz(B1, _mom3d_L(c, 2)) for c in range(3)]
+    k2m_used = [_nz(B2, _mom3d_L(c, -2)) for c in range(3)]
+    k2p_used = [_nz(B2, _mom3d_L(c, 2)) for c in range(3)]
+    conv_rows = [_mom3d_CV(var, 1, off)
+                 for var in (0, 1) for off in (-1, 0, 1)]
+    need_patch1 = (not per[1]) and any(
+        _nz(B1, r, N1 - 1) for r in conv_rows
+    )
+    need_patch2 = (not per[2]) and any(
+        _nz(B2, r, N2 - 1) for r in conv_rows
+    )
+
+    def kernel(b0r, b1r, b2r, *refs):
+        V = refs[0:3]                 # blocked (TM, N1, N2)
+        FU = refs[3:6]                # lo factors of U0 per axis
+        FV = refs[6:15]               # lo factors v0f[d][c] at 3d+c
+        VUE = refs[15:18]             # v up edges (1, N1, N2)
+        VDE = refs[18:21]             # v down edges
+        P2 = refs[21:24]              # v[2] planes (1, N1, N2)
+        M2 = refs[24:27]              # v[N0-3] planes
+        FE0 = refs[27:31]             # axis-0 hi edges [U0, v0f0c]
+        PA1 = refs[31:35]             # axis-1 hi patches (TM, 1, N2)
+        PA2 = refs[35:39]             # axis-2 hi patches (TM, N1, 1)
+        OUT = refs[39:42]
+
+        base = pl.program_id(0) * TM
+        rows = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 1)
+        lastrow = rows == N1 - 1
+        lastcol = cols == N2 - 1
+
+        def hi1(lo, patch):
+            # axis-1 high factor: shift -1 on sublanes; last-row patch
+            # only when its coefficients can be nonzero there
+            r = pltpu.roll(lo, N1 - 1, 0)
+            return jnp.where(lastrow, patch, r) if need_patch1 else r
+
+        def hi2(lo, patch):
+            r = pltpu.roll(lo, N2 - 1, 1)
+            return jnp.where(lastcol, patch, r) if need_patch2 else r
+
+        for s in range(TM):
+            P = [V[e][s] for e in range(3)]
+            UP = [VUE[e][0] if s == 0 else V[e][s - 1]
+                  for e in range(3)]
+            DN = [VDE[e][0] if s == TM - 1 else V[e][s + 1]
+                  for e in range(3)]
+            # in-plane +-1 shifts per component (axis1 = sublanes,
+            # axis2 = lanes); wrapped reads are annihilated by zero
+            # boundary band entries (non-periodic) or correct (periodic)
+            A1m = [pltpu.roll(p, 1, 0) for p in P]
+            A1p = [pltpu.roll(p, N1 - 1, 0) for p in P]
+            A2m = [pltpu.roll(p, 1, 1) for p in P]
+            A2p = [pltpu.roll(p, N2 - 1, 1) for p in P]
+
+            # face factors at this slab: lo directly, hi derived
+            FlU0 = FU[0][s]
+            FrU0 = FE0[0][0] if s == TM - 1 else FU[0][s + 1]
+            FlU1, FrU1 = FU[1][s], hi1(FU[1][s], PA1[0][s])
+            FlU2, FrU2 = FU[2][s], hi2(FU[2][s], PA2[0][s])
+            Flv0 = [FV[0 + c][s] for c in range(3)]
+            Frv0 = [FE0[1 + c][0] if s == TM - 1 else FV[0 + c][s + 1]
+                    for c in range(3)]
+            Flv1 = [FV[3 + c][s] for c in range(3)]
+            Frv1 = [hi1(FV[3 + c][s], PA1[1 + c][s]) for c in range(3)]
+            Flv2 = [FV[6 + c][s] for c in range(3)]
+            Frv2 = [hi2(FV[6 + c][s], PA2[1 + c][s]) for c in range(3)]
+
+            # ---- axis 0: bands are SMEM scalars at base+s ----------
+            def s0(r):
+                return b0r[r, base + s]
+
+            def sum0(weights_row, e):
+                # weighted (off -1, 0, +1) combination along axis 0
+                return (weights_row[0] * UP[e]
+                        + weights_row[1] * P[e]
+                        + weights_row[2] * DN[e])
+
+            # norm-variant convection sums on v_0 (shared by all c)
+            nl0 = sum0([s0(_mom3d_CV(1, 0, o)) for o in (-1, 0, 1)], 0)
+            nr0 = sum0([s0(_mom3d_CV(1, 1, o)) for o in (-1, 0, 1)], 0)
+            tl0w = [s0(_mom3d_CV(0, 0, o)) for o in (-1, 0, 1)]
+            tr0w = [s0(_mom3d_CV(0, 1, o)) for o in (-1, 0, 1)]
+
+            # ---- axis 1: bands broadcast over sublanes -------------
+            def w1(r):
+                return b1r[r, :][:, None]
+
+            def sum1(rowfn, var, lr, e):
+                return (rowfn(_mom3d_CV(var, lr, -1)) * A1m[e]
+                        + rowfn(_mom3d_CV(var, lr, 0)) * P[e]
+                        + rowfn(_mom3d_CV(var, lr, 1)) * A1p[e])
+
+            nl1 = sum1(w1, 1, 0, 1)
+            nr1 = sum1(w1, 1, 1, 1)
+
+            # ---- axis 2: bands broadcast over lanes ----------------
+            def w2(r):
+                return b2r[r, :][None, :]
+
+            def sum2(rowfn, var, lr, e):
+                return (rowfn(_mom3d_CV(var, lr, -1)) * A2m[e]
+                        + rowfn(_mom3d_CV(var, lr, 0)) * P[e]
+                        + rowfn(_mom3d_CV(var, lr, 1)) * A2p[e])
+
+            nl2 = sum2(w2, 1, 0, 2)
+            nr2 = sum2(w2, 1, 1, 2)
+
+            for c in range(3):
+                acc = P[c]
+
+                # Laplacian, axis 0 (+-2 one-sided rows via the
+                # dedicated planes; coefficients are zero away from
+                # the global boundary rows)
+                acc = (acc + s0(_mom3d_L(c, -1)) * UP[c]
+                       + s0(_mom3d_L(c, 0)) * P[c]
+                       + s0(_mom3d_L(c, 1)) * DN[c])
+                if s == 0 and p2_used[c]:
+                    acc = acc + s0(_mom3d_L(c, 2)) * P2[c][0]
+                if s == TM - 1 and m2_used[c]:
+                    acc = acc + s0(_mom3d_L(c, -2)) * M2[c][0]
+
+                # Laplacian, axes 1/2 (-1..1 always; the one-sided
+                # +-2 rolls only when the band rows are nonzero)
+                acc = (acc
+                       + w1(_mom3d_L(c, -1)) * A1m[c]
+                       + w1(_mom3d_L(c, 0)) * P[c]
+                       + w1(_mom3d_L(c, 1)) * A1p[c])
+                if l2m_used[c]:
+                    acc = acc + w1(_mom3d_L(c, -2)) * pltpu.roll(
+                        P[c], 2, 0)
+                if l2p_used[c]:
+                    acc = acc + w1(_mom3d_L(c, 2)) * pltpu.roll(
+                        P[c], N1 - 2, 0)
+                acc = (acc
+                       + w2(_mom3d_L(c, -1)) * A2m[c]
+                       + w2(_mom3d_L(c, 0)) * P[c]
+                       + w2(_mom3d_L(c, 1)) * A2p[c])
+                if k2m_used[c]:
+                    acc = acc + w2(_mom3d_L(c, -2)) * pltpu.roll(
+                        P[c], 2, 1)
+                if k2p_used[c]:
+                    acc = acc + w2(_mom3d_L(c, 2)) * pltpu.roll(
+                        P[c], N2 - 2, 1)
+
+                # convection, axis 0
+                al = Flv0[c] + (FlU0 if c == 0 else 0.0)
+                ar = Frv0[c] + (FrU0 if c == 0 else 0.0)
+                acc = acc + al * nl0 + ar * nr0
+                if c != 0:
+                    acc = (acc + FlU0 * sum0(tl0w, c)
+                           + FrU0 * sum0(tr0w, c))
+
+                # convection, axis 1
+                al = Flv1[c] + (FlU1 if c == 1 else 0.0)
+                ar = Frv1[c] + (FrU1 if c == 1 else 0.0)
+                acc = acc + al * nl1 + ar * nr1
+                if c != 1:
+                    acc = (acc + FlU1 * sum1(w1, 0, 0, c)
+                           + FrU1 * sum1(w1, 0, 1, c))
+
+                # convection, axis 2
+                al = Flv2[c] + (FlU2 if c == 2 else 0.0)
+                ar = Frv2[c] + (FrU2 if c == 2 else 0.0)
+                acc = acc + al * nl2 + ar * nr2
+                if c != 2:
+                    acc = (acc + FlU2 * sum2(w2, 0, 0, c)
+                           + FrU2 * sum2(w2, 0, 1, c))
+
+                OUT[c][s] = acc
+
+    big = pl.BlockSpec((TM, N1, N2), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    edge = pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    fixplane = pl.BlockSpec((1, N1, N2), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    pa1 = pl.BlockSpec((TM, 1, N2), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    pa2 = pl.BlockSpec((TM, N1, 1), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((N0, N1, N2), dtype) for _ in range(3)
+        ),
+        grid=(ntiles,),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM)]       # b0
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2  # b1, b2
+            + [big] * 15                                   # v + factors
+            + [edge] * 6                                   # v ue/de
+            + [fixplane] * 6                               # p2/m2
+            + [edge] * 4                                   # FE0
+            + [pa1] * 4 + [pa2] * 4
+        ),
+        out_specs=(big, big, big),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=150 * 3 * N0 * N1 * N2,
+            bytes_accessed=18 * N0 * N1 * N2
+            * np.dtype(np.float32).itemsize,
+            transcendentals=0,
+        ),
+    )
+
+    def lo_and_hilast(F, a):
+        """Cell-shaped lo slice of face array F along axis a, plus the
+        plane of high-face values at the top boundary (for periodic
+        axes the face array is already cell-shaped and the 'top'
+        wraps to index 0)."""
+        if per[a]:
+            lo = F
+            hilast = jax.lax.index_in_dim(F, 0, axis=a)
+        else:
+            n = mesh.N[a]
+            lo = jax.lax.slice_in_dim(F, 0, n, axis=a)
+            hilast = jax.lax.index_in_dim(F, n, axis=a)
+        return lo, hilast
+
+    def fe0_edges(lo, hilast):
+        """de-style axis-0 hi edges: fe[i] = lo[(i+1)*TM] for
+        i < ntiles-1; fe[-1] = hilast."""
+        lo4 = lo.reshape(ntiles, TM, N1, N2)
+        fe = jnp.concatenate(
+            [lo4[1:, 0], hilast.reshape(1, N1, N2)], axis=0
+        )
+        return fe
+
+    def prep(U0, v0f):
+        """Once per step: slice the 12 face-factor arrays into the
+        kernel's lo/edge/patch buffers."""
+        srcs = [U0[0], v0f[0][0], v0f[0][1], v0f[0][2]]
+        lo0, fe0 = [], []
+        for F in srcs:
+            lo, hilast = lo_and_hilast(F, 0)
+            lo0.append(lo.astype(dtype))
+            fe0.append(fe0_edges(lo.astype(dtype),
+                                 hilast.astype(dtype)))
+        lo1, pa1v = [], []
+        for F in [U0[1], v0f[1][0], v0f[1][1], v0f[1][2]]:
+            lo, hilast = lo_and_hilast(F, 1)
+            lo1.append(lo.astype(dtype))
+            pa1v.append(hilast.reshape(N0, 1, N2).astype(dtype))
+        lo2, pa2v = [], []
+        for F in [U0[2], v0f[2][0], v0f[2][1], v0f[2][2]]:
+            lo, hilast = lo_and_hilast(F, 2)
+            lo2.append(lo.astype(dtype))
+            pa2v.append(hilast.reshape(N0, N1, 1).astype(dtype))
+        return {
+            "FU": (lo0[0], lo1[0], lo2[0]),
+            "FV": tuple(lo0[1:]) + tuple(lo1[1:]) + tuple(lo2[1:]),
+            "FE0": tuple(fe0),
+            "PA1": (pa1v[0],) + tuple(pa1v[1:]),
+            "PA2": (pa2v[0],) + tuple(pa2v[1:]),
+        }
+
+    def edges(p):
+        p4 = p.reshape(ntiles, TM, N1, N2)
+        ue = jnp.zeros((ntiles, N1, N2), dtype)
+        de = jnp.zeros((ntiles, N1, N2), dtype)
+        if ntiles > 1:
+            ue = ue.at[1:].set(p4[:-1, TM - 1])
+            de = de.at[:-1].set(p4[1:, 0])
+        if per[0]:
+            ue = ue.at[0].set(p[N0 - 1])
+            de = de.at[ntiles - 1].set(p[0])
+        return ue, de
+
+    def apply(v, factors):
+        v = tuple(x.astype(dtype) for x in v)
+        ue, de = zip(*(edges(x) for x in v))
+        p2 = tuple(x[2:3] for x in v)
+        m2 = tuple(x[N0 - 3:N0 - 2] for x in v)
+        outs = call(
+            b0, b1, b2,
+            *v, *factors["FU"], *factors["FV"],
+            *ue, *de, *p2, *m2,
+            *factors["FE0"], *factors["PA1"], *factors["PA2"],
+        )
+        return outs
+
+    return prep, apply

@@ -279,3 +279,53 @@ def test_conv_outlet_extrapolation_constant_exact():
         out += (wl[off] + wr[off]) * sh
     # flux difference of constant*1 is zero everywhere
     np.testing.assert_allclose(out, 0.0, atol=1e-12)
+
+
+def test_apply_R_composed_matches_chain():
+    """The per-axis composed R bands (T_d ∘ G_d - Gst_d) must equal
+    the unfused T(G p) - Gst p chain exactly, for every BC type and
+    on a stretched grid."""
+    import jax.numpy as jnp
+
+    from fluca_tpu.mesh.cart import CartMesh
+    from fluca_tpu.ns.bc import (
+        BCType,
+        BoundaryCondition,
+        zero_velocity_bc,
+    )
+    from fluca_tpu.ns.operators import NSOperators
+
+    rng = np.random.default_rng(7)
+    wall = zero_velocity_bc()
+    out = BoundaryCondition(
+        BCType.PRESSURE_OUTLET, pressure=lambda t, xs: 0.0 * xs[0]
+    )
+    sym = BoundaryCondition(BCType.SYMMETRY)
+    per = BoundaryCondition(BCType.PERIODIC)
+
+    configs = [
+        ((12, 10), (False, False), [wall, out, sym, wall]),
+        ((8, 12), (True, False), [per, per, wall, out]),
+    ]
+    for N, periodic, bcs in configs:
+        mesh = CartMesh.create(N, periodic)
+        # stretched coordinates exercise the non-uniform tables
+        faces = []
+        for n in N:
+            f = np.linspace(0.0, 1.0, n + 1)
+            faces.append(f + 0.08 * np.sin(2.3 * np.pi * f) * (f[1]))
+        mesh.set_coordinates(*faces)
+        ops = NSOperators(mesh, bcs, rho=2.0, mu=0.3, dt=0.05,
+                          dtype=jnp.float64)
+        p = jnp.asarray(rng.standard_normal(N))
+
+        Rp = ops.apply_R(p)
+        Gp = ops.apply_G(p)
+        TGp = ops.apply_T(Gp)
+        Gstp = ops.apply_Gst(p)
+        for d in range(mesh.dim):
+            np.testing.assert_allclose(
+                np.asarray(Rp[d]),
+                np.asarray(TGp[d] - Gstp[d]),
+                rtol=0, atol=1e-13,
+            )
