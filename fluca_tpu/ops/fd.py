@@ -28,7 +28,6 @@ fdutils.c:15-33) — encoded as a tuple of booleans ``stag[d]``.
 from __future__ import annotations
 
 import enum
-import math
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -65,6 +64,22 @@ def _loc_coords(mesh: CartMesh, d: int, stag_d: bool) -> np.ndarray:
 
 
 @dataclass
+class _RawFactor:
+    """Unfolded 1-D stencil factor along one axis, with the term
+    metadata the reference tracks per stencil point
+    (flucafdimpl.h termlink; composition merges it at
+    composition.c:3-46: derivative orders add, accuracy = min).
+    ``rows`` maps extended output indices (ghost outputs included) to
+    {input col: weight}; cols may lie outside the grid."""
+
+    in_stag: bool
+    out_stag: bool
+    deriv: int
+    accu: int
+    rows: dict
+
+
+@dataclass
 class StencilOp:
     """A static linear stencil operator + boundary-value constant."""
 
@@ -73,6 +88,14 @@ class StencilOp:
     out_stag: tuple[bool, ...]
     bands: dict  # {offset tuple: np.ndarray of out shape}
     const: np.ndarray  # out shape
+    # optional raw per-axis factors + the BCs they were built with:
+    # kept by derivative() so fd_compose can replicate the reference's
+    # compose-raw-then-fold semantics (see fd_compose)
+    raw_factors: Optional[dict] = None
+    fd_bcs: Optional[list] = None
+    # per-axis folded 1-D data (rows + boundary-marker weights),
+    # set on composed operators for marker-level introspection
+    folded1d: Optional[dict] = None
 
     # -- application ---------------------------------------------------
     def apply(self, x, include_const: bool = True):
@@ -127,6 +150,68 @@ class StencilOp:
         rows = sorted((c, v) for c, v in merged.items() if v != 0.0)
         return rows, float(self.const[idx])
 
+    def row_entries(self, idx: tuple[int, ...]):
+        """Marker-level stencil row for composed operators (requires
+        ``folded1d``): returns (points {col: w}, markers
+        [((axis, side), col_with_boundary_index, w)]) — the analogue
+        of the reference's printed composite stencils including
+        boundary-value markers."""
+        assert self.folded1d is not None
+        mesh = self.mesh
+        dim = mesh.dim
+        ax_rows = []
+        ax_marks = []
+        for ax in range(dim):
+            if ax in self.folded1d:
+                data = self.folded1d[ax]
+                row = dict(data["rows"][idx[ax]])
+                mks = {
+                    side: mk.get(idx[ax], 0.0)
+                    for side, mk in data["markers"].items()
+                }
+            else:
+                row = {idx[ax]: 1.0}
+                mks = {0: 0.0, 1: 0.0}
+            ax_rows.append(row)
+            ax_marks.append(mks)
+
+        n_in = _loc_shape(mesh, self.in_stag)
+        points: dict = {}
+        import itertools
+
+        for combo in itertools.product(*[r.items() for r in ax_rows]):
+            col = []
+            w = 1.0
+            for ax, (c, wc) in enumerate(combo):
+                c = c % n_in[ax] if mesh.periodic[ax] else c
+                col.append(c)
+                w *= wc
+            if w != 0.0:
+                col = tuple(col)
+                points[col] = points.get(col, 0.0) + w
+
+        markers = []
+        for ax in range(dim):
+            for side, mw in ax_marks[ax].items():
+                if mw == 0.0:
+                    continue
+                bnd = 0 if side == 0 else mesh.N[ax]
+                other = [
+                    ax_rows[a].items() if a != ax else [(bnd, mw)]
+                    for a in range(dim)
+                ]
+                for combo in itertools.product(*other):
+                    col = []
+                    w = 1.0
+                    for a, (c, wc) in enumerate(combo):
+                        if a != ax and mesh.periodic[a]:
+                            c = c % n_in[a]
+                        col.append(c)
+                        w *= wc
+                    if w != 0.0:
+                        markers.append(((ax, side), tuple(col), w))
+        return points, markers
+
     def to_dense(self) -> np.ndarray:
         mesh = self.mesh
         n_in = _loc_shape(mesh, self.in_stag)
@@ -138,6 +223,185 @@ class StencilOp:
             for col, v in rows:
                 A[r, np.ravel_multi_index(col, n_in)] += v
         return A
+
+
+# ----------------------------------------------------------------------
+# off-grid folding (fluca/src/fd/utils/fdutils.c:252-464)
+# ----------------------------------------------------------------------
+
+
+def _ghost_coord(x: np.ndarray, j: int, periodic: bool, L: float):
+    """Coordinate of (possibly off-grid) index j: periodic wrap with
+    L-shifts, else linear extension by the end spacing (the
+    reference's FlucaFDGetCoordinate_Internal)."""
+    n = len(x)
+    if periodic:
+        return x[j % n] + (j // n) * L
+    if j < 0:
+        return x[0] + j * (x[1] - x[0])
+    if j >= n:
+        return x[n - 1] + (j - (n - 1)) * (x[n - 1] - x[n - 2])
+    return x[j]
+
+
+def _fold_factor_1d(mesh, ax, f: _RawFactor, bc_lo: FDBC, bc_hi: FDBC):
+    """Replicate FlucaFDRemoveOffGridPoints_Internal on one 1-D
+    factor: every column outside the grid is rewritten per the axis
+    BC using npts = deriv_order + accu_order points taken from the
+    boundary-side end (fdutils.c:171-196 GetStencilSizeForOffGridPoint
+    + :330-460). Returns (rows over in-range outputs, marker weights
+    {side: {i: w}})."""
+    periodic = mesh.periodic[ax]
+    xin = _loc_coords(mesh, ax, f.in_stag)
+    n_in = len(xin)
+    n_out = mesh.nfaces(ax) if f.out_stag else mesh.N[ax]
+    L = mesh.length(ax)
+    xb = {0: mesh.faces[ax][0], 1: mesh.faces[ax][-1]}
+    npts = max(1, f.deriv + f.accu)
+    rows_out = {}
+    markers = {0: {}, 1: {}}
+
+    for i in range(n_out):
+        row = dict(f.rows[i])
+        if periodic:
+            rows_out[i] = row
+            continue
+        for _ in range(100):
+            off_cols = [c for c in row if not 0 <= c < n_in]
+            if not off_cols:
+                break
+            col = off_cols[0]
+            w = row.pop(col)
+            side = 0 if col < 0 else 1
+            bc = bc_lo if side == 0 else bc_hi
+            xg = _ghost_coord(xin, col, False, L)
+
+            if bc.type == FDBCType.NONE:
+                pts = (list(range(npts)) if side == 0
+                       else list(range(n_in - npts, n_in)))
+                xs = [xin[p] for p in pts]
+                A = np.array([[(x - xg) ** r for x in xs]
+                              for r in range(npts)])
+                b = np.zeros(npts)
+                b[0] = 1.0
+                coef = np.linalg.solve(A, b)
+                for p, cf in zip(pts, coef):
+                    row[p] = row.get(p, 0.0) + w * cf
+            elif bc.type == FDBCType.DIRICHLET:
+                m = npts - 1
+                pts = (list(range(m)) if side == 0
+                       else list(range(n_in - m, n_in)))
+                if f.in_stag:
+                    # boundary face IS a grid point: skip duplicate
+                    # (fdutils.c:366-371)
+                    pts = ([p + 1 for p in pts] if side == 0
+                           else [p - 1 for p in pts])
+                xs = [xb[side]] + [xin[p] for p in pts]
+                A = np.array([[(x - xg) ** r for x in xs]
+                              for r in range(len(xs))])
+                b = np.zeros(len(xs))
+                b[0] = 1.0
+                coef = np.linalg.solve(A, b)
+                markers[side][i] = markers[side].get(i, 0.0) + w * coef[0]
+                for p, cf in zip(pts, coef[1:]):
+                    row[p] = row.get(p, 0.0) + w * cf
+            elif bc.type == FDBCType.NEUMANN:
+                m = npts - 1
+                pts = (list(range(m)) if side == 0
+                       else list(range(n_in - m, n_in)))
+                xs = [xg] + [xin[p] for p in pts]
+                A = np.array([[(x - xb[side]) ** r for x in xs]
+                              for r in range(len(xs))])
+                b = np.zeros(len(xs))
+                if len(xs) > 1:
+                    b[1] = 1.0
+                coef = np.linalg.solve(A, b)
+                a_off = coef[0]
+                assert abs(a_off) > 1e-14, "Neumann fold singular"
+                markers[side][i] = markers[side].get(i, 0.0) + w / a_off
+                for p, cf in zip(pts, coef[1:]):
+                    row[p] = row.get(p, 0.0) - w * cf / a_off
+            else:  # pragma: no cover
+                raise ValueError(bc.type)
+        rows_out[i] = {c: v for c, v in row.items() if v != 0.0}
+    markers = {
+        s: {i: v for i, v in mk.items() if v != 0.0}
+        for s, mk in markers.items()
+    }
+    return rows_out, markers
+
+
+def _assemble_from_factors(mesh, factors, bcs, in_stag, out_stag):
+    """Build a StencilOp as the tensor product of folded per-axis 1-D
+    factors (axes without a factor act as identity). Boundary-marker
+    weights times the BC values flow into the constant."""
+    dim = mesh.dim
+    out_shape = _loc_shape(mesh, out_stag)
+    folded = {}
+    for ax, f in factors.items():
+        rows, markers = _fold_factor_1d(
+            mesh, ax, f, bcs[2 * ax], bcs[2 * ax + 1]
+        )
+        folded[ax] = {"rows": rows, "markers": markers,
+                      "in_stag": f.in_stag}
+
+    # per-axis banded form {offset: 1-D weight array over out index}
+    ax_bands = {}
+    for ax in range(dim):
+        n_out = out_shape[ax]
+        if ax not in folded:
+            ax_bands[ax] = {0: np.ones(n_out)}
+            continue
+        bd: dict[int, np.ndarray] = {}
+        for i, row in folded[ax]["rows"].items():
+            for c, w in row.items():
+                off = c - i
+                bd.setdefault(off, np.zeros(n_out))[i] += w
+        ax_bands[ax] = bd
+
+    def _outer(offs, arrs):
+        w = None
+        for ax in range(dim):
+            shape = [1] * dim
+            shape[ax] = -1
+            a = arrs[ax].reshape(shape)
+            w = a if w is None else w * a
+        return np.broadcast_to(w, out_shape).copy()
+
+    bands = {}
+    import itertools
+
+    axes_offsets = [sorted(ax_bands[ax]) for ax in range(dim)]
+    for offs in itertools.product(*axes_offsets):
+        w = _outer(offs, [ax_bands[ax][offs[ax]] for ax in range(dim)])
+        if np.any(w != 0.0):
+            bands[tuple(offs)] = w
+
+    # constants: marker weight x bc value x row-sums of other axes
+    const = np.zeros(out_shape)
+    for ax, data in folded.items():
+        for side, mk in data["markers"].items():
+            if not mk:
+                continue
+            val = bcs[2 * ax + side].value
+            mrow = np.zeros(out_shape[ax])
+            for i, w in mk.items():
+                mrow[i] = w
+            others = []
+            for a2 in range(dim):
+                if a2 == ax:
+                    others.append(mrow)
+                else:
+                    rs = np.zeros(out_shape[a2])
+                    for off, w in ax_bands[a2].items():
+                        rs += w
+                    others.append(rs)
+            const += val * _outer(None, others)
+
+    op = StencilOp(mesh, tuple(in_stag), tuple(out_stag), bands, const)
+    op.folded1d = folded
+    op.fd_bcs = list(bcs)
+    return op
 
 
 # ----------------------------------------------------------------------
@@ -153,6 +417,7 @@ def derivative(
     in_stag=None,
     out_stag=None,
     bcs: Optional[list] = None,
+    ghost_width: Optional[int] = None,
 ) -> StencilOp:
     """d^m/dx_d^m with given accuracy on (possibly non-uniform) grids.
 
@@ -202,113 +467,36 @@ def derivative(
     xb_lo = mesh.faces[d][0]
     xb_hi = mesh.faces[d][-1]
 
-    # per-output-index weights keyed by input index (may include the
-    # bc condition as a pseudo-point)
-    band_cols: dict[int, np.ndarray] = {}
-    const_1d = np.zeros(n_out)
-
-    def set_w(i_out, col, w):
-        off = col - i_out
-        if off not in band_cols:
-            band_cols[off] = np.zeros(n_out)
-        band_cols[off][i_out] += w
-
-    for i in range(n_out):
-        x0 = xout[i]
+    # Build raw (unfolded) rows over an extended output range, then
+    # apply the SAME generic off-grid fold the reference applies at
+    # stencil-query time (fdutils.c:252-464) — derivative, composition
+    # and sum thus share one folding semantics. Raw windows use
+    # ghost-extended coordinates like the reference's precomputed
+    # table over the ghosted range (derivative.c:84-107).
+    ext = 4
+    raw_rows = {}
+    for i in range(-ext, n_out + ext):
+        x0 = _ghost_coord(xout, i, periodic, L)
         cols = [i + offset_start + c for c in range(size)]
-        if periodic:
-            xs = [xin[c % n_in] + (c // n_in) * L for c in cols]
-            w = fd_weights(xs, x0, deriv_order)
-            for c, wc in zip(cols, w):
-                set_w(i, c, wc)
-            continue
+        if periodic and ghost_width is not None:
+            # the reference folds points beyond the ghosted local
+            # range even on periodic axes (fdutils.c:291-298 with
+            # bc_type NONE); for an npts-point window that NONE fold
+            # equals shifting the window into [-w, N-1+w] (the unique
+            # exact-on-degree rule on the shifted points)
+            lo, hi = -ghost_width, n_in - 1 + ghost_width
+            shift = max(0, lo - min(cols)) - max(0, max(cols) - hi)
+            cols = [c + shift for c in cols]
+        xs = [_ghost_coord(xin, c, periodic, L) for c in cols]
+        w = fd_weights(xs, x0, deriv_order)
+        raw_rows[i] = {c: wc for c, wc in zip(cols, w) if wc != 0.0}
 
-        lo_out = min(cols) < 0
-        hi_out = max(cols) > n_in - 1
-        if not lo_out and not hi_out:
-            w = fd_weights([xin[c] for c in cols], x0, deriv_order)
-            for c, wc in zip(cols, w):
-                set_w(i, c, wc)
-            continue
-
-        side = 0 if lo_out else 1
-        bc = bc_lo if side == 0 else bc_hi
-        xb = xb_lo if side == 0 else xb_hi
-
-        if bc.type == FDBCType.NONE:
-            # shift window inward; same point count
-            start = 0 if side == 0 else n_in - size
-            cols = list(range(start, start + size))
-            w = fd_weights([xin[c] for c in cols], x0, deriv_order)
-            for c, wc in zip(cols, w):
-                set_w(i, c, wc)
-        elif bc.type == FDBCType.DIRICHLET:
-            # nearest size-1 interior points + boundary face point.
-            # Skip the boundary point if it coincides with an input
-            # point (staggered input: the face IS a grid point).
-            if side == 0:
-                cols = list(range(0, size - 1))
-            else:
-                cols = list(range(n_in - (size - 1), n_in))
-            pts = [xin[c] for c in cols]
-            if any(abs(p - xb) < 1e-14 for p in pts):
-                # boundary face already a stencil point: Dirichlet
-                # value replaces it
-                keep = [
-                    (c, p) for c, p in zip(cols, pts)
-                    if abs(p - xb) >= 1e-14
-                ]
-                cols = [c for c, _ in keep]
-                pts = [p for _, p in keep]
-            w = fd_weights(pts + [xb], x0, deriv_order)
-            for c, wc in zip(cols, w[:-1]):
-                set_w(i, c, wc)
-            const_1d[i] += w[-1] * bc.value
-        elif bc.type == FDBCType.NEUMANN:
-            # constrained polynomial fit: p'(xb) = value plus size-1
-            # interior samples; stencil = d^m of that fit at x0
-            if side == 0:
-                cols = list(range(0, size - 1))
-            else:
-                cols = list(range(n_in - (size - 1), n_in))
-            npts = len(cols)
-            ncoef = npts + 1
-            M = np.zeros((ncoef, ncoef))
-            for r_, c_ in enumerate(cols):
-                h = xin[c_] - x0
-                M[r_] = [h**k / math.factorial(k) for k in range(ncoef)]
-            hb = xb - x0
-            M[npts] = [
-                (hb ** (k - 1) / math.factorial(k - 1)) if k >= 1 else 0.0
-                for k in range(ncoef)
-            ]
-            rhs_sel = np.zeros(ncoef)
-            rhs_sel[deriv_order] = 1.0
-            # weights: w = rhs_sel^T M^{-1} -> last entry multiplies
-            # the Neumann value
-            w = np.linalg.solve(M.T, rhs_sel)
-            for c_, wc in zip(cols, w[:npts]):
-                set_w(i, c_, wc)
-            const_1d[i] += w[npts] * bc.value
-        else:  # pragma: no cover
-            raise ValueError(bc.type)
-
-    # lift 1-D bands/const to full-dim arrays
-    out_shape = _loc_shape(mesh, out_stag)
-    bands = {}
-    for off, w1 in band_cols.items():
-        if not np.any(w1 != 0.0):
-            continue
-        off_full = tuple(off if a == d else 0 for a in range(dim))
-        shape = [1] * dim
-        shape[d] = -1
-        bands[off_full] = np.broadcast_to(
-            w1.reshape(shape), out_shape
-        ).copy()
-    shape = [1] * dim
-    shape[d] = -1
-    const = np.broadcast_to(const_1d.reshape(shape), out_shape).copy()
-    return StencilOp(mesh, in_stag, out_stag, bands, const)
+    factor = _RawFactor(in_stag[d], out_stag[d], deriv_order,
+                        accu_order, raw_rows)
+    op = _assemble_from_factors(mesh, {d: factor}, bcs, in_stag,
+                                out_stag)
+    op.raw_factors = {d: factor}
+    return op
 
 
 # ----------------------------------------------------------------------
@@ -346,14 +534,73 @@ def fd_scale(op: StencilOp, factor) -> StencilOp:
     return StencilOp(op.mesh, op.in_stag, op.out_stag, bands, const)
 
 
-def fd_compose(outer: StencilOp, inner: StencilOp) -> StencilOp:
+def fd_compose(outer: StencilOp, inner: StencilOp,
+               bcs: Optional[list] = None) -> StencilOp:
     """outer ∘ inner: stencil-of-stencil expansion
-    (fluca/src/fd/impls/composition/composition.c:48-72). The inner
-    constant term flows through the outer operator into the composed
-    constant."""
+    (fluca/src/fd/impls/composition/composition.c:48-72).
+
+    When both operands carry raw 1-D factors (derivative-built), the
+    composition follows the reference exactly: the RAW stencils are
+    expanded first (reaching through ghost output rows of the inner),
+    the per-axis term metadata is merged (derivative orders add,
+    accuracy = min, composition.c:18-40), and boundary conditions are
+    folded on the COMPOSITE with npts = merged deriv+accu
+    (fdutils.c:171-196). Folding the operands separately — the
+    fallback below, used for non-derivative operands — loses accuracy
+    at boundary rows (the composite fold fits a higher-degree
+    polynomial than either factor alone).
+
+    ``bcs`` are the composition's own boundary conditions (the
+    reference sets them on the composition object, e.g.
+    -comp_flucafd_left_bc_type); defaults to the inner operand's.
+    The inner constant term flows through the outer operator into the
+    composed constant."""
     assert inner.out_stag == outer.in_stag
     mesh = outer.mesh
     dim = mesh.dim
+
+    if outer.raw_factors is not None and inner.raw_factors is not None:
+        use_bcs = bcs or inner.fd_bcs or outer.fd_bcs
+        use_bcs = use_bcs or [FDBC()] * (2 * dim)
+        factors = {
+            ax: _RawFactor(f.in_stag, f.out_stag, f.deriv, f.accu,
+                           {i: dict(r) for i, r in f.rows.items()})
+            for ax, f in inner.raw_factors.items()
+        }
+        ok = True
+        for ax, fo in outer.raw_factors.items():
+            if ax not in factors:
+                factors[ax] = fo
+                continue
+            fi = factors[ax]
+            rows = {}
+            for i, orow in fo.rows.items():
+                acc: dict = {}
+                valid = True
+                for col, w in orow.items():
+                    irow = fi.rows.get(col)
+                    if irow is None:
+                        valid = False
+                        break
+                    for c2, w2 in irow.items():
+                        acc[c2] = acc.get(c2, 0.0) + w * w2
+                if valid:
+                    rows[i] = acc
+            if not all(i in rows for i in range(
+                mesh.nfaces(ax) if fo.out_stag else mesh.N[ax]
+            )):
+                ok = False
+                break
+            factors[ax] = _RawFactor(
+                fi.in_stag, fo.out_stag, fi.deriv + fo.deriv,
+                min(fi.accu, fo.accu), rows,
+            )
+        if ok:
+            op = _assemble_from_factors(
+                mesh, factors, use_bcs, inner.in_stag, outer.out_stag
+            )
+            op.raw_factors = factors
+            return op
     n_mid = _loc_shape(mesh, inner.out_stag)
     out_shape = _loc_shape(mesh, outer.out_stag)
     bands: dict = {}

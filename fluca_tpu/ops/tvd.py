@@ -184,4 +184,96 @@ class TVDOp:
         )
         return out
 
+    def reference_stencil(self, i: int, vel, phi):
+        """The printed stencil decomposition exactly as the reference
+        emits it (FlucaFDGetStencilRaw_SecondOrderTVD,
+        secondordertvd.c:187-356, + fdutils folding), for golden
+        parity tests (1-D).
+
+        Returns a list of entries: ('pt', col, w), ('bc', side, w),
+        ('const', value).
+
+        NOTE the reference quirk this reproduces: at an OUTFLOW
+        boundary face (vel > 0 at the high face / vel <= 0 at the low
+        face) the deferred-correction constant reads the downwind
+        ghost cell of its local vector, which is never scattered at a
+        physical boundary and is zero — so the emitted face value is
+        ~0 regardless of the BC. Our apply() replaces outflow boundary
+        faces with the BC-consistent face value instead
+        (_fold_boundary_faces); tutorial physics checks rely on that.
+        """
+        assert self.mesh.dim == 1
+        mesh, d = self.mesh, self.d
+        N = mesh.N[d]
+        vel = np.asarray(vel)
+        phi = np.asarray(phi)
+        v = float(vel[i])
+        pos = v > 0.0
+        c = mesh.centers(d)
+        f = mesh.faces[d]
+
+        if not self.periodic and (
+            (pos and i == 0) or (not pos and i == N)
+        ):
+            # ghost-cell average, folded per the BC with npts = 2
+            # (TVD term: deriv 0, accu 2; secondordertvd.c:233-249 +
+            # fdutils.c:330-460)
+            side = 0 if i == 0 else 1
+            bc = self.bcs[2 * d + side]
+            xb = f[0] if side == 0 else f[N]
+            i_in = 0 if side == 0 else N - 1
+            xg = (2 * xb - c[i_in])  # mirrored ghost center
+            entries = {("pt", i_in): 0.5}
+            w = 0.5  # ghost coefficient
+            if bc.type == FDBCType.DIRICHLET:
+                # linear through (xb, bc), (c_in, phi_in) at xg
+                a0 = (xg - c[i_in]) / (xb - c[i_in])
+                a1 = (xg - xb) / (c[i_in] - xb)
+                entries[("bc", side)] = w * a0
+                entries[("pt", i_in)] += w * a1
+            elif bc.type == FDBCType.NEUMANN:
+                # p'(xb) FD over (xg, c_in); solve for the ghost
+                a_off = 1.0 / (xg - c[i_in])
+                a1 = 1.0 / (c[i_in] - xg)
+                entries[("bc", side)] = w / a_off
+                entries[("pt", i_in)] += -w * a1 / a_off
+            else:  # NONE: extrapolate ghost from 2 nearest cells
+                i2 = 1 if side == 0 else N - 2
+                a0 = (xg - c[i2]) / (c[i_in] - c[i2])
+                a2 = (xg - c[i_in]) / (c[i2] - c[i_in])
+                entries[("pt", i_in)] += w * a0
+                entries[("pt", i2)] = entries.get(("pt", i2), 0.0) \
+                    + w * a2
+            out = []
+            for k, val in entries.items():
+                if val != 0.0:
+                    out.append((k[0], k[1], val))
+            return out
+
+        # interior formula (+ the outflow-boundary quirk: off-grid
+        # downwind phi reads as 0)
+        u = i - 1 if pos else i
+        dn = i if pos else i - 1
+        fu = i - 1 if pos else i + 1
+        grad = np.asarray(self.grad.apply(jnp.asarray(phi)))
+        nf = mesh.nfaces(d)
+        g_fu = float(grad[fu % nf]) if self.periodic else (
+            float(grad[fu]) if 0 <= fu < nf else 0.0
+        )
+        g_fc = float(grad[i])
+        r = g_fu / g_fc if abs(g_fc) > 1e-30 else 1.0
+        psi = float(self.limiter(jnp.asarray(r)))
+        alpha = (self.alpha_plus if pos else self.alpha_minus)[i]
+
+        def phival(j):
+            if self.periodic:
+                return float(phi[j % N])
+            return float(phi[j]) if 0 <= j < N else 0.0
+
+        const = float(alpha) * psi * (phival(dn) - phival(u))
+        out = [("pt", u % N if self.periodic else u, 1.0)]
+        if const != 0.0:
+            out.append(("const", None, const))
+        return out
+
     __call__ = apply
