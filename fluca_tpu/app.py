@@ -60,6 +60,22 @@ def main(argv=None) -> int:
     ns.set_from_options()
     ns.setup()
 
+    # domain decomposition over the available devices (the reference's
+    # mpiexec -n N x -cart_ranks_* path): -parallel_grid auto | 2x4
+    if opts.has("parallel_grid"):
+        spec = opts.get_str("parallel_grid")
+        shape = (
+            None if spec in ("", "auto", "true")
+            else tuple(int(x) for x in spec.split("x"))
+        )
+        ns.shard(shape=shape)
+        import jax
+
+        print(
+            f"parallel: {len(jax.devices())} devices, grid "
+            f"{dict(zip(ns.device_grid.axis_names, ns.device_grid.mesh.devices.shape))}"
+        )
+
     if opts.has("load_checkpoint"):
         from fluca_tpu.io.checkpoint import load_checkpoint
 

@@ -132,10 +132,40 @@ class CNLinearSolver:
         self.mg = PoissonMG(mesh, bcs, scale=dt / rho, dtype=dtype)
         self.pin_pressure = not self.ops.has_pressure_outlet
         self._step_jit = {}
+        # device grid for domain decomposition (None = single device);
+        # set via set_device_grid / NS.shard
+        self.grid = None
         # optional momentum body-force hook: f(state0, t) -> cell
         # vector; added to the momentum RHS as dt * f (used by the
         # direct-forcing IBM, fluca_tpu.ibm.forcing)
         self.body_force = None
+
+    # -- domain decomposition -------------------------------------------
+    def set_device_grid(self, grid) -> None:
+        """Make the compiled step run sharded over a device grid (the
+        reference's block-structured rank decomposition, cart.c:85-151,
+        as GSPMD sharding): every step program constrains its state to
+        the grid-axis sharding, and XLA inserts the halo
+        collective-permutes / psum allreduces. Pallas kernels are not
+        GSPMD-partitionable, so sharded runs use the XLA banded paths
+        (shard_map'd kernels are the planned upgrade; see
+        parallel/halo.py for the overlapped building block)."""
+        self.grid = grid
+        self._step_jit = {}
+        if grid is not None:
+            self.ops._mom_kernel = None
+            self.ops._mom_kernel3d = None
+            for lvl in self.mg.levels:
+                lvl.pallas_apply = None
+                lvl.pallas_residual = None
+                lvl.pallas_smooth = None
+
+    def _constrain(self, state):
+        if self.grid is None:
+            return state
+        from fluca_tpu.parallel.mesh import constrain_state
+
+        return constrain_state(self.grid, state)
 
     # -- state ---------------------------------------------------------
     def zero_state(self) -> dict:
@@ -327,6 +357,7 @@ class CNLinearSolver:
     def _step_impl(self, state, t, is_first_step: bool):
         ops = self.ops
         dim = ops.dim
+        state = self._constrain(state)
         sol0 = state
         U0 = sol0["U"]
 
@@ -392,12 +423,12 @@ class CNLinearSolver:
             p_new = state["phalf"] + 1.5 * dp
             phalf_new = state["phalf"] + dp
 
-        new_state = {
+        new_state = self._constrain({
             "v": x["v"],
             "U": x["U"],
             "p": p_new,
             "phalf": phalf_new,
-        }
+        })
         converged = (
             jnp.isfinite(res.rnorm)
             if self.cfg.converged_skip

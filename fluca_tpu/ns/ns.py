@@ -116,6 +116,34 @@ class NS:
             if self.state is None:
                 self.state = self.impl.zero_state()
 
+    # -- domain decomposition -------------------------------------------
+    def shard(self, grid=None, shape=None, devices=None) -> None:
+        """Distribute the solver over a device grid — the first-class
+        equivalent of the reference's MPI rank decomposition
+        (MeshSetUp_Cart ownership/halo, cart.c:85-151): the state is
+        placed with grid-axis NamedShardings and every compiled step
+        (including the multi_step scan fast path) constrains its
+        carries to that sharding, so GSPMD emits halo
+        collective-permutes over ICI and psum allreduces for the
+        Krylov reductions.
+
+        ``grid`` is a parallel.mesh.DeviceGrid; or pass ``shape``
+        (e.g. (2, 4)) / ``devices`` to build one.
+        """
+        self.setup()
+        from fluca_tpu.parallel.mesh import make_device_grid, shard_state
+
+        if grid is None:
+            grid = make_device_grid(
+                self.mesh.dim, devices=devices, shape=shape
+            )
+        self.impl.set_device_grid(grid)
+        self.state = shard_state(grid, self.state)
+
+    @property
+    def device_grid(self):
+        return self.impl.grid if self.impl is not None else None
+
     # -- solution access ----------------------------------------------
     @property
     def solution(self):

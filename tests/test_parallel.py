@@ -73,3 +73,76 @@ def test_sharded_solution_stays_sharded():
         )(sharded, jnp.asarray(0.0))
     p_shard = out["p"].sharding
     assert not p_shard.is_fully_replicated
+
+
+def test_ns_shard_advance_matches_single_device():
+    """First-class sharded solver path: NS.shard + advance() (the
+    multi_step scan fast path) over the 8-device grid must reproduce
+    the single-device run bitwise — the decomposition-independence
+    oracle the reference never had in CI (nsize ignored,
+    FlucaTestUtils.cmake:109-111)."""
+    from fluca_tpu.models.cavity import setup_cavity_2d
+    from fluca_tpu.ns.cnlinear import CNLinearConfig
+
+    def run(sharded):
+        ns = setup_cavity_2d(N=32, Re=100.0, dt=0.01, max_steps=100)
+        ns.impl.cfg = CNLinearConfig.production()
+        if sharded:
+            ns.shard()
+            assert ns.device_grid is not None
+        ns.advance(50)
+        return ns
+
+    ref = run(False)
+    par = run(True)
+    # GSPMD reassociates the Krylov reductions, so exact-bitwise is
+    # unattainable; measured drift over 50 steps is ~1e-15 (f64)
+    for k in ("v", "U"):
+        for a, b in zip(ref.state[k], par.state[k]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(ref.state["p"]), np.asarray(par.state["p"]),
+        rtol=0, atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(ref.state["phalf"]), np.asarray(par.state["phalf"]),
+        rtol=0, atol=1e-13)
+    # the sharded result really lives distributed
+    shd = par.state["p"].sharding
+    assert not shd.is_fully_replicated
+
+
+def test_sharded_step_collective_counts():
+    """Pin the number of halo/reduction collectives in the compiled
+    sharded step: a regression here silently destroys the
+    O(surface) communication claim (SCALING.md). Counts are per
+    compiled program; the scan body's collectives appear once."""
+    import jax
+
+    from fluca_tpu.models.cavity import setup_cavity_2d
+    from fluca_tpu.ns.cnlinear import CNLinearConfig
+
+    ns = setup_cavity_2d(N=32, Re=100.0, dt=0.01, max_steps=10)
+    ns.impl.cfg = CNLinearConfig.production()
+    ns.shard()
+    impl = ns.impl
+
+    import jax.numpy as jnp
+    from functools import partial
+
+    fn = jax.jit(partial(impl._step_impl, is_first_step=False))
+    lowered = fn.lower(ns.state, jnp.asarray(0.0, ns.dtype))
+    txt = lowered.compile().as_text()
+    n_cp = txt.count("collective-permute(")
+    n_ar = txt.count("all-reduce(")
+    n_ag = txt.count("all-gather(")
+    # halo exchanges ride collective-permute; Krylov dots / mean
+    # projections ride all-reduce; all-gather only appears for the
+    # tiny MG coarse levels below the shardable size. These counts
+    # were measured on the production preset (o3/m8/s6) — update
+    # deliberately if the solver structure changes.
+    assert n_cp > 0 and n_ar > 0
+    assert n_cp <= 270, f"collective-permute count grew: {n_cp}"
+    assert n_ar <= 120, f"all-reduce count grew: {n_ar}"
+    assert n_ag <= 90, f"all-gather count grew: {n_ag}"
+    print(f"collectives: cp={n_cp} ar={n_ar} ag={n_ag}")
