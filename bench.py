@@ -53,7 +53,7 @@ def slope_time_per_iter(fn, x, iters_lo=50, iters_hi=400, repeats=3):
     return (ts[iters_hi] - ts[iters_lo]) / (iters_hi - iters_lo)
 
 
-def main():
+def spmv_roofline(N=4096):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -63,8 +63,6 @@ def main():
     from fluca_tpu.mesh.cart import CartMesh
     from fluca_tpu.ns.bc import zero_velocity_bc
     from fluca_tpu.solvers.mg import PoissonMG
-
-    N = 4096
     dtype = jnp.float32
     mesh = CartMesh.create((N, N))
     mesh.set_uniform_coordinates(0.0, 1.0, 0.0, 1.0)
@@ -103,6 +101,38 @@ def main():
     gbps_copy = bytes_moved / t_copy / 1e9
     gbps_spmv = bytes_moved / t_spmv / 1e9
     frac = gbps_spmv / gbps_copy
+    return {
+        "frac": frac,
+        "gbps_copy": gbps_copy,
+        "gbps_spmv": gbps_spmv,
+        "us_per_apply": t_spmv * 1e6,
+        "N": N,
+    }
+
+
+def main():
+    r = spmv_roofline()
+    frac = r["frac"]
+    extra = {
+        "cavity2d_256_steps_per_sec": None,
+        "cavity3d_64_steps_per_sec": None,
+        "channel3d_128_steps_per_sec": None,
+    }
+    if "--quick" not in sys.argv:
+        # full-step throughputs (the perf surface where the real work
+        # is; VERDICT r1 item 5): production preset, warm scan path
+        try:
+            extra["cavity2d_256_steps_per_sec"] = round(
+                cavity_throughput(N=256, steps=50), 2
+            )
+            extra["cavity3d_64_steps_per_sec"] = round(
+                cavity3d_throughput(N=(64, 64, 32), steps=30), 2
+            )
+            extra["channel3d_128_steps_per_sec"] = round(
+                channel_throughput(N=128, steps=30), 2
+            )
+        except Exception as e:  # pragma: no cover
+            extra["error"] = f"{type(e).__name__}: {e}"
 
     print(
         json.dumps(
@@ -111,33 +141,25 @@ def main():
                 "value": round(frac, 4),
                 "unit": (
                     f"fraction of measured copy roofline "
-                    f"({gbps_copy:.0f} GB/s); spmv {gbps_spmv:.0f} GB/s"
-                    f" at {t_spmv*1e6:.0f} us/apply, {N}x{N} f32"
+                    f"({r['gbps_copy']:.0f} GB/s); spmv "
+                    f"{r['gbps_spmv']:.0f} GB/s at "
+                    f"{r['us_per_apply']:.0f} us/apply, "
+                    f"{r['N']}x{r['N']} f32; extra: full-step "
+                    f"steps/s at the fixed-budget production preset"
                 ),
                 "vs_baseline": round(frac / 0.80, 4),
+                **extra,
             }
         )
     )
 
 
-def cavity_throughput(N=256, steps=50, capped=True):
-    """Secondary metric: cavity timesteps/sec (run with --cavity).
-
-    steps=50 so the one host sync per advance() amortizes below the
-    per-step cost (10-step batches under-report by ~2x through the
-    tunnel)."""
+def _advance_throughput(ns, steps):
+    """Warm steps/s of the scan fast path with host-sync timing."""
     import time
 
     import numpy as np
 
-    from fluca_tpu.models.cavity import setup_cavity_2d
-    from fluca_tpu.ns.cnlinear import CNLinearConfig
-
-    ns = setup_cavity_2d(
-        N=N, Re=100.0, dt=0.01, max_steps=10 * steps + 1
-    )
-    if capped:
-        ns.impl.cfg = CNLinearConfig.production()
     ns.step()
     ns.advance(steps)  # compile the scan program
     np.asarray(ns.state["v"][0])
@@ -147,18 +169,51 @@ def cavity_throughput(N=256, steps=50, capped=True):
         ns.advance(steps)
         np.asarray(ns.state["v"][0])
         best = min(best, time.time() - t0)
-    sps = steps / best
-    print(
-        json.dumps(
-            {
-                "metric": "cavity_timesteps_per_sec",
-                "value": round(sps, 3),
-                "unit": f"steps/s ({N}x{N} f32, Re=100, "
-                        f"{'capped-3' if capped else 'rtol 1e-5'})",
-                "vs_baseline": None,
-            }
-        )
+    return steps / best
+
+
+def cavity_throughput(N=256, steps=50, capped=True):
+    """Cavity 2-D timesteps/sec.
+
+    steps=50 so the one host sync per advance() amortizes below the
+    per-step cost (10-step batches under-report by ~2x through the
+    tunnel)."""
+    from fluca_tpu.models.cavity import setup_cavity_2d
+    from fluca_tpu.ns.cnlinear import CNLinearConfig
+
+    ns = setup_cavity_2d(
+        N=N, Re=100.0, dt=0.01, max_steps=10 * steps + 1
     )
+    if capped:
+        ns.impl.cfg = CNLinearConfig.production()
+    return _advance_throughput(ns, steps)
+
+
+def cavity3d_throughput(N=(64, 64, 32), steps=30):
+    """Cavity 3-D (reference cavity_flow_3d.c config) timesteps/sec."""
+    import jax.numpy as jnp
+
+    from fluca_tpu.models.cavity import setup_cavity_3d
+    from fluca_tpu.ns.cnlinear import CNLinearConfig
+
+    ns = setup_cavity_3d(N=N, Re=100.0, dt=0.01,
+                         max_steps=10 * steps + 1, dtype=jnp.float32)
+    ns.impl.cfg = CNLinearConfig.production()
+    return _advance_throughput(ns, steps)
+
+
+def channel_throughput(N=128, steps=30):
+    """Turbulent-channel config 128^3 timesteps/sec (the 3-D
+    full-step bandwidth story; STATUS.md perf item)."""
+    import jax.numpy as jnp
+
+    from fluca_tpu.models.channel import setup_channel_3d
+    from fluca_tpu.ns.cnlinear import CNLinearConfig
+
+    ns = setup_channel_3d(N=(N, N, N), dt=2e-3, max_steps=10**9,
+                          dtype=jnp.float32)
+    ns.impl.cfg = CNLinearConfig.production()
+    return _advance_throughput(ns, steps)
 
 
 def poisson3d_roofline(N=256):
@@ -234,7 +289,19 @@ def poisson3d_roofline(N=256):
 
 if __name__ == "__main__":
     if "--cavity" in sys.argv:
-        cavity_throughput()
+        print(json.dumps({
+            "metric": "cavity_timesteps_per_sec",
+            "value": round(cavity_throughput(), 3),
+            "unit": "steps/s (256x256 f32, Re=100, capped-3)",
+            "vs_baseline": None,
+        }))
+    elif "--channel3d" in sys.argv:
+        print(json.dumps({
+            "metric": "channel3d_timesteps_per_sec",
+            "value": round(channel_throughput(), 3),
+            "unit": "steps/s (128^3 f32, production preset)",
+            "vs_baseline": None,
+        }))
     elif "--poisson3d" in sys.argv:
         poisson3d_roofline()
     else:

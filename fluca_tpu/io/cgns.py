@@ -38,9 +38,12 @@ def _require_h5py():
 
 
 def _set_node_attrs(g, name: str, label: str, dtype_code: str):
-    g.attrs.create("name", np.bytes_(name.ljust(33, "\x00")[:33]))
-    g.attrs.create("label", np.bytes_(label.ljust(33, "\x00")[:33]))
-    g.attrs.create("type", np.bytes_(dtype_code.ljust(3, "\x00")[:3]))
+    # fixed-size string attributes (33/3 bytes, null-padded) exactly
+    # as the ADF-to-HDF5 mapping specifies; np.bytes_ alone strips
+    # trailing NULs and would shrink the attribute type
+    g.attrs.create("name", np.bytes_(name[:32]), dtype="S33")
+    g.attrs.create("label", np.bytes_(label[:32]), dtype="S33")
+    g.attrs.create("type", np.bytes_(dtype_code[:2]), dtype="S3")
     g.attrs.create("flags", np.array([1], dtype=np.int32))
 
 
@@ -105,9 +108,11 @@ class CGNSWriter:
     def _open(self):
         f = h5py.File(self._current_name(), "w")
         # root metadata (CGNS-HDF5 required nodes)
-        f.attrs.create("name", np.bytes_("HDF5 MotherNode".ljust(33, "\x00")))
-        f.attrs.create("label", np.bytes_("Root Node of HDF5 File".ljust(33, "\x00")))
-        f.attrs.create("type", np.bytes_("MT\x00"))
+        f.attrs.create("name", np.bytes_("HDF5 MotherNode"),
+                       dtype="S33")
+        f.attrs.create("label", np.bytes_("Root Node of HDF5 File"),
+                       dtype="S33")
+        f.attrs.create("type", np.bytes_("MT"), dtype="S3")
         f.create_dataset(
             " format", data=np.frombuffer(b"IEEE_LITTLE_32", dtype=np.uint8).astype(np.int8)
         )

@@ -19,17 +19,54 @@ import os
 import numpy as np
 
 
+def _named_fields(state) -> dict:
+    out = {"p": state["p"], "phalf": state["phalf"]}
+    for c, a in enumerate(state["v"]):
+        out[f"v{c}"] = a
+    for d, a in enumerate(state["U"]):
+        out[f"U{d}"] = a
+    return out
+
+
+def _grid_meta(ns) -> dict:
+    return {
+        "step": ns.step_index,
+        "time": ns.t,
+        "dt": ns.dt,
+        "rho": ns.rho,
+        "mu": ns.mu,
+        "dim": ns.mesh.dim,
+        "N": list(ns.mesh.N),
+        "periodic": list(ns.mesh.periodic),
+        "faces": [f.tolist() for f in ns.mesh.faces],
+    }
+
+
 def save_checkpoint(path: str, ns) -> None:
     """Write state + metadata. ``path`` is a directory. Large fields
     stream through the native fastio engine (fluca_tpu.native) when
-    available, falling back to npz."""
+    available, falling back to npz. In a multi-process run (or when
+    the state is not fully addressable) each process writes only its
+    own shards plus a per-process manifest — the TPU-native equivalent
+    of the reference's collective MPI-IO writes (cgp_*_write_data,
+    flucacgns.c:241-242); no process ever needs to address the whole
+    array."""
+    import jax
+
+    multiproc = jax.process_count() > 1 or any(
+        hasattr(leaf, "is_fully_addressable")
+        and not leaf.is_fully_addressable
+        for leaf in jax.tree_util.tree_leaves(ns.state)
+    )
+    if multiproc:
+        _save_checkpoint_sharded(path, ns)
+        return
+
     os.makedirs(path, exist_ok=True)
     state = ns.state
-    arrays = {"p": np.asarray(state["p"]), "phalf": np.asarray(state["phalf"])}
-    for c, a in enumerate(state["v"]):
-        arrays[f"v{c}"] = np.asarray(a)
-    for d, a in enumerate(state["U"]):
-        arrays[f"U{d}"] = np.asarray(a)
+    arrays = {
+        name: np.asarray(a) for name, a in _named_fields(state).items()
+    }
 
     from fluca_tpu import native
 
@@ -47,18 +84,88 @@ def save_checkpoint(path: str, ns) -> None:
     meta = {
         "format": "native" if used_native else "npz",
         "arrays": array_meta,
-        "step": ns.step_index,
-        "time": ns.t,
-        "dt": ns.dt,
-        "rho": ns.rho,
-        "mu": ns.mu,
-        "dim": ns.mesh.dim,
-        "N": list(ns.mesh.N),
-        "periodic": list(ns.mesh.periodic),
-        "faces": [f.tolist() for f in ns.mesh.faces],
+        **_grid_meta(ns),
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
+
+
+def _save_checkpoint_sharded(path: str, ns) -> None:
+    """Per-shard write + manifest: each process writes the shards it
+    owns (replica 0 only) and a manifest.p<pid>.json recording their
+    global index ranges; process 0 writes meta.json. A barrier at the
+    end makes the checkpoint complete when any process returns."""
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    pid = jax.process_index()
+    records: dict = {}
+    array_meta: dict = {}
+    for name, arr in _named_fields(ns.state).items():
+        arr = jax.numpy.asarray(arr)
+        array_meta[name] = {
+            "shape": list(arr.shape), "dtype": str(arr.dtype)
+        }
+        for sh in arr.addressable_shards:
+            if sh.replica_id != 0:
+                continue
+            start = [int(s.start or 0) for s in sh.index]
+            stop = [
+                int(s.stop) if s.stop is not None else int(dim)
+                for s, dim in zip(sh.index, arr.shape)
+            ]
+            fname = (
+                f"{name}.shard_" + "_".join(map(str, start)) + ".npy"
+            )
+            np.save(os.path.join(path, fname), np.asarray(sh.data))
+            records.setdefault(name, []).append(
+                {"file": fname, "start": start, "stop": stop}
+            )
+    with open(
+        os.path.join(path, f"manifest.p{pid}.json"), "w"
+    ) as fh:
+        json.dump(records, fh)
+    if pid == 0:
+        meta = {
+            "format": "sharded",
+            "nprocs": jax.process_count(),
+            "arrays": array_meta,
+            **_grid_meta(ns),
+        }
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("fluca_checkpoint_save")
+
+
+def _load_sharded_arrays(path: str, meta: dict) -> dict:
+    import glob
+
+    data = {
+        name: np.empty(am["shape"], np.dtype(am["dtype"]))
+        for name, am in meta["arrays"].items()
+    }
+    filled = {name: 0 for name in data}
+    for mpath in sorted(glob.glob(os.path.join(path, "manifest.p*.json"))):
+        with open(mpath) as fh:
+            records = json.load(fh)
+        for name, recs in records.items():
+            for rec in recs:
+                sl = tuple(
+                    slice(a, b) for a, b in zip(rec["start"], rec["stop"])
+                )
+                data[name][sl] = np.load(os.path.join(path, rec["file"]))
+                filled[name] += int(
+                    np.prod([b - a for a, b in
+                             zip(rec["start"], rec["stop"])])
+                )
+    for name, n in filled.items():
+        assert n >= int(np.prod(data[name].shape)), (
+            f"sharded checkpoint incomplete for {name!r}"
+        )
+    return data
 
 
 def load_checkpoint(path: str, ns) -> None:
@@ -71,7 +178,9 @@ def load_checkpoint(path: str, ns) -> None:
         f"grid size mismatch: {ns.mesh.N} vs {meta['N']}"
     )
     assert list(ns.mesh.periodic) == meta["periodic"]
-    if meta.get("format") == "native":
+    if meta.get("format") == "sharded":
+        data = _load_sharded_arrays(path, meta)
+    elif meta.get("format") == "native":
         from fluca_tpu import native
 
         data = {}

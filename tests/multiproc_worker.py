@@ -84,6 +84,25 @@ def main():
     print(f"proc {pid}/{nprocs}: OK shard[{lo}:{lo + n_local}]",
           flush=True)
 
+    # phase 2 (optional): sharded NS run + per-shard checkpoint write
+    # — the multi-host write path (collective MPI-IO equivalent,
+    # flucacgns.c:241-242); the parent test reloads it single-process
+    if len(sys.argv) > 4:
+        ckdir = sys.argv[4]
+        jax.config.update("jax_enable_x64", True)
+
+        from fluca_tpu.io.checkpoint import save_checkpoint
+        from fluca_tpu.models.cavity import setup_cavity_2d
+        from fluca_tpu.ns.cnlinear import CNLinearConfig
+
+        ns = setup_cavity_2d(N=16, Re=100.0, dt=0.01, max_steps=100,
+                             dtype=jnp.float64)
+        ns.impl.cfg = CNLinearConfig.production()
+        ns.shard(make_device_grid(2, jax.devices()))
+        ns.advance(3)
+        save_checkpoint(ckdir, ns)
+        print(f"proc {pid}/{nprocs}: checkpoint written", flush=True)
+
 
 if __name__ == "__main__":
     main()

