@@ -20,7 +20,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import numpy as np
 
 
-def time_config(N, outer, mom, schur, steps=30, repeats=3):
+def time_config(N, outer, mom, schur, steps=30, repeats=3, fast=False):
     import jax.numpy as jnp
 
     from fluca_tpu.models.channel import setup_channel_3d
@@ -29,9 +29,11 @@ def time_config(N, outer, mom, schur, steps=30, repeats=3):
     ns = setup_channel_3d(
         N=(N, N, N), dt=2e-3, max_steps=100000, dtype=jnp.float32
     )
-    ns.impl.cfg = CNLinearConfig.production(
-        outer=outer, mom=mom, schur=schur
+    preset = (
+        CNLinearConfig.production_fast if fast
+        else CNLinearConfig.production
     )
+    ns.impl.cfg = preset(outer=outer, mom=mom, schur=schur)
     ns.step()
     ns.advance(steps)  # compile scan program
     np.asarray(ns.state["v"][0])
@@ -42,7 +44,8 @@ def time_config(N, outer, mom, schur, steps=30, repeats=3):
         np.asarray(ns.state["v"][0])
         best = min(best, time.perf_counter() - t0)
     ms = best / steps * 1e3
-    print(f"  o{outer}/m{mom}/s{schur}: {ms:8.2f} ms/step "
+    tag = "fast " if fast else ""
+    print(f"  {tag}o{outer}/m{mom}/s{schur}: {ms:8.2f} ms/step "
           f"({steps/best:.1f} steps/s)", flush=True)
     return ms
 
@@ -76,6 +79,25 @@ def time_pieces(N):
 
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    if "--fast" in sys.argv:
+        # fast-path marginal costs (production_fast presets)
+        print(f"== fast-path configs at {N}^3 (channel) ==", flush=True)
+        base = time_config(N, 3, 8, 6, fast=True)
+        s2 = time_config(N, 3, 8, 2, fast=True)
+        m2 = time_config(N, 3, 2, 6, fast=True)
+        o1 = time_config(N, 1, 8, 6, fast=True)
+        per_schur = (base - s2) / (3 * 4.0)
+        per_mom = (base - m2) / (3 * 6.0)
+        per_outer = (base - o1) / 2.0
+        print("\n== fast-path marginal costs ==")
+        print(f"  per Schur V-cycle:   {per_schur:7.2f} ms "
+              f"(3x6 = {18*per_schur:.1f} ms)")
+        print(f"  per Jacobi sweep:    {per_mom:7.2f} ms "
+              f"(3x8 = {24*per_mom:.1f} ms)")
+        print(f"  per outer iter:      {per_outer:7.2f} ms (fixed "
+              f"part = {per_outer - 6*per_schur - 8*per_mom:.2f} ms)")
+        print(f"  step fixed part:     {base - 3*per_outer:7.2f} ms")
+        return
     print(f"== pieces at {N}^3 ==", flush=True)
     t_spmv, t_v = time_pieces(N)
 

@@ -43,7 +43,9 @@ import jax.numpy as jnp
 
 from fluca_tpu.mesh.cart import CartMesh
 from fluca_tpu.ns.operators import NSOperators
-from fluca_tpu.solvers.krylov import bicgstab, cg, fgmres, tree_sub
+from fluca_tpu.solvers.krylov import (
+    bicgstab, cg, fgmres, tree_add, tree_norm, tree_sub,
+)
 from fluca_tpu.solvers.mg import PoissonMG
 from fluca_tpu.utils import config
 
@@ -77,6 +79,28 @@ class CNLinearConfig:
     # fixed-budget mode (PETSc KSPConvergedSkip analogue): run the
     # outer iteration to maxiter and accept the result if finite
     converged_skip: bool = False
+    # fixed-budget fast-path solver selections (production_fast):
+    #   outer_type  "fgmres"    : flexible GMRES (reference semantics,
+    #                             nssol.c:22-25) — optimal in the Krylov
+    #                             sense but pays ravel/Gram-Schmidt/basis
+    #                             traffic over the full coupled state
+    #               "richardson": x += M(b - A x) — same
+    #                             operator/preconditioner applications,
+    #                             zero orthogonalization machinery;
+    #                             with the ABF preconditioner this is
+    #                             the classical iterated
+    #                             pressure-correction scheme
+    #   mom_solver  "bicgstab"  : Jacobi-preconditioned BiCGStab
+    #               "jacobi"    : mom_maxiter damped-Jacobi sweeps
+    #                             (1 A-apply per sweep, no dots)
+    #   schur_solver "cg"       : MG-preconditioned CG
+    #                "vcycle"   : mg Richardson (schur_maxiter V-cycles,
+    #                             nullspace projection hoisted out of
+    #                             the loop)
+    outer_type: str = "fgmres"
+    mom_solver: str = "bicgstab"
+    schur_solver: str = "cg"
+    mom_omega: float = 1.0
 
     @classmethod
     def production(cls, outer=3, mom=8, schur=6):
@@ -93,6 +117,26 @@ class CNLinearConfig:
         )
 
     @classmethod
+    def production_fast(cls, outer=3, mom=8, schur=6, mom_omega=1.0):
+        """Fixed-budget preset on the overhead-free solver path:
+        Richardson outer + damped-Jacobi momentum + MG-Richardson
+        Schur. Identical operator/preconditioner structure to
+        ``production()`` but with every Krylov bookkeeping pass
+        (state ravels, Gram-Schmidt, dot products, per-iteration norm
+        reductions) removed — each outer iteration is exactly one
+        coupled residual plus one ABF application. Accuracy is
+        validated against the production preset by
+        tests/test_fastpath.py."""
+        return cls(
+            rtol=1e-30, maxiter=outer, restart=outer,
+            converged_skip=True,
+            mom_rtol=1e-30, mom_maxiter=mom,
+            schur_rtol=1e-30, schur_maxiter=schur,
+            outer_type="richardson", mom_solver="jacobi",
+            schur_solver="vcycle", mom_omega=mom_omega,
+        )
+
+    @classmethod
     def from_options(cls, opts, prefix="ns_"):
         o = opts.sub(prefix)
         return cls(
@@ -106,6 +150,12 @@ class CNLinearConfig:
             schur_ainv=o.get_str("pc_abf_schur_ainv_type", "id"),
             upper_ainv=o.get_str("pc_abf_upper_ainv_type", "id"),
             solve_type=o.get_str("solve_type", "coupled"),
+            outer_type=o.get_str("ksp_type", "fgmres"),
+            mom_solver=o.get_str("abf_momentum_ksp_type", "bicgstab"),
+            schur_solver=o.get_str("abf_schur_ksp_type", "cg"),
+            # PETSc -ksp_convergence_test skip analogue (required for
+            # the fixed-budget richardson outer)
+            converged_skip=o.get_bool("ksp_convergence_test_skip", False),
         )
 
 
@@ -206,6 +256,25 @@ class CNLinearSolver:
         ops = self.ops
         inv_diag = tuple(1.0 / d for d in diagA)
 
+        if self.cfg.mom_solver == "jacobi":
+            # mom_maxiter damped-Jacobi sweeps, unrolled: one fused
+            # A-apply plus an elementwise epilogue per sweep — no dot
+            # products, no norm reductions. A = I + dt C - nu dt/2 L
+            # is strongly diagonally dominant at CFL-limited dt, so
+            # plain Jacobi contracts geometrically (validated against
+            # BiCGStab by tests/test_fastpath.py).
+            w = self.cfg.mom_omega
+            x = tuple(
+                w * inv_diag[c] * rhs_v[c] for c in range(ops.dim)
+            )
+            for _ in range(self.cfg.mom_maxiter - 1):
+                Ax = ops.apply_A_coeffs(x, Acoeffs)
+                x = tuple(
+                    x[c] + w * inv_diag[c] * (rhs_v[c] - Ax[c])
+                    for c in range(ops.dim)
+                )
+            return x
+
         def A(v):
             return ops.apply_A_coeffs(v, Acoeffs)
 
@@ -242,6 +311,21 @@ class CNLinearSolver:
         FGMRES+MG (diag/rowsum, nonsymmetric Stilde =
         -D T Atilde1^-1 G + D R = D T (I - Atilde1^-1) G - D Gst)."""
         proj = self._project_p if self.pin_pressure else None
+        if ainv1 is None and self.cfg.schur_solver == "vcycle":
+            # MG as the solver: schur_maxiter V-cycle Richardson
+            # iterations. Per iteration this is one V-cycle plus one
+            # fused residual — CG's dots, per-iteration norm, and
+            # per-iteration nullspace projections are all gone; the
+            # constant mode is projected once at the end (G of a
+            # constant is 0, so a bounded constant component never
+            # feeds back into the velocity update).
+            b = self.mg.scale_rhs(rhs_p)
+            lvl0 = self.mg.levels[0]
+            p = self.mg.precondition(b)
+            for _ in range(self.cfg.schur_maxiter - 1):
+                r = self.mg._residual(lvl0, p, b)
+                p = p + self.mg.precondition(r)
+            return proj(p) if proj else p
         if ainv1 is None:
             res = cg(
                 self.mg.apply_op,
@@ -388,14 +472,44 @@ class CNLinearSolver:
             # solve (Atilde = I, THEORY_GUIDE.md:320-349); report the
             # coupled residual for diagnostics
             x = self._abf_apply(rhs, Acoeffs, diagA)
-            from fluca_tpu.solvers.krylov import tree_norm, tree_sub
-
             r = tree_sub(rhs, self._coupled_apply(x, Acoeffs))
             res = type("R", (), {})()
             res.x = x
             res.rnorm = tree_norm(r)
             res.iters = jnp.array(1, jnp.int32)
             res.converged = jnp.isfinite(res.rnorm)
+        elif (
+            self.cfg.outer_type == "richardson"
+            and self.cfg.converged_skip
+        ):
+            # fixed-budget Richardson outer: maxiter iterations of
+            # x += M(rhs - A x) with the ABF preconditioner M — the
+            # iterated pressure-correction scheme. Exactly one coupled
+            # apply + one ABF application per iteration; no state
+            # ravels, no Gram-Schmidt, no basis buffers.
+            x = self._abf_apply(rhs, Acoeffs, diagA)
+            rlast = rhs
+            for _ in range(self.cfg.maxiter - 1):
+                rlast = tree_sub(
+                    rhs, self._coupled_apply(x, Acoeffs)
+                )
+                x = tree_add(
+                    x, self._abf_apply(rlast, Acoeffs, diagA)
+                )
+            res = type("R", (), {})()
+            res.x = x
+            # rnorm: coupled residual BEFORE the last correction (one
+            # reduction; avoids an extra coupled apply purely for
+            # diagnostics). For maxiter == 1 this is |rhs|.
+            res.rnorm = tree_norm(rlast)
+            res.iters = jnp.array(self.cfg.maxiter, jnp.int32)
+            # rlast pre-dates the final correction, so probe the final
+            # iterate too (sum turns any NaN/inf into a non-finite
+            # scalar) — divergence is flagged in the step it happens
+            res.converged = jnp.logical_and(
+                jnp.isfinite(res.rnorm),
+                jnp.isfinite(jnp.sum(x["p"])),
+            )
         else:
             x0 = None
             if self.cfg.warm_start:

@@ -40,11 +40,14 @@ class _Level:
     pallas_residual: object = None  # fused b - Shat x
     pallas_smooth: object = None  # fused damped-Jacobi sweep
     cheb_lmax: object = None  # Chebyshev smoothing upper bound
+    host_dgst: tuple = ()  # per-axis host-f64 AxisStencils (coarse solve)
+    host_vol: object = None  # scale * cell volumes, host f64
 
 
 def _build_level(mesh: CartMesh, axbcs, scale: float, dtype) -> _Level:
     dim = mesh.dim
     dgst_bands = []
+    host_dgst = []
     diag = np.zeros(mesh.cell_shape)
     for d in range(dim):
         gst, _, _ = T_.gst_tables(mesh, d, axbcs[d])
@@ -54,6 +57,7 @@ def _build_level(mesh: CartMesh, axbcs, scale: float, dtype) -> _Level:
         # intermediates): the SpMV hot path
         dgst = compose_axis_stencils(div, gst)
         dgst_bands.append(dgst.device_bands(dim, dtype))
+        host_dgst.append(dgst)
         w0 = dgst.as_dict().get(0, np.zeros(mesh.N[d]))
         shape = [1] * dim
         shape[d] = -1
@@ -67,6 +71,8 @@ def _build_level(mesh: CartMesh, axbcs, scale: float, dtype) -> _Level:
         vol=jnp.asarray(scale * vol, dtype),
         cellvol=jnp.asarray(vol, dtype),
         inv_diag=jnp.asarray(inv_diag, dtype),
+        host_dgst=tuple(host_dgst),
+        host_vol=scale * vol,
     )
 
 
@@ -203,14 +209,24 @@ class PoissonMG:
             for lvl in self.levels:
                 lvl.cheb_lmax = None
 
-        # coarse-level exact solve via dense pseudo-inverse on host
+        # coarse-level exact solve via dense pseudo-inverse, assembled
+        # on HOST in float64 from the banded tables (Kronecker sums).
+        # Assembling by probing the f32 device apply poisons the pinv:
+        # the constant-nullspace singular value then sits at ~1e-7
+        # instead of ~1e-16, survives pinv's rcond cutoff, and puts
+        # O(1e7) entries in the inverse — CG+projection masks this,
+        # but it silently weakens the preconditioner (and breaks any
+        # projection-free use of the V-cycle).
         coarse = self.levels[-1]
-        n = int(np.prod(coarse.mesh.N))
-        basis = jnp.asarray(
-            np.eye(n).reshape((n,) + coarse.mesh.cell_shape), dtype
-        )
-        cols = jax.vmap(lambda e: self._apply_level(coarse, e))(basis)
-        A = np.asarray(cols.reshape(n, n), dtype=np.float64).T
+        Nc = coarse.mesh.N
+        n = int(np.prod(Nc))
+        A = np.zeros((n, n))
+        for d, st in enumerate(coarse.host_dgst):
+            Dd = st.to_dense(Nc[d])
+            left = int(np.prod(Nc[:d], initial=1))
+            right = int(np.prod(Nc[d + 1:], initial=1))
+            A += np.kron(np.kron(np.eye(left), Dd), np.eye(right))
+        A = -np.asarray(coarse.host_vol).ravel()[:, None] * A
         self._coarse_pinv = jnp.asarray(np.linalg.pinv(A), dtype)
 
     # ------------------------------------------------------------------
