@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from fluca_tpu.mesh.cart import CartMesh
 from fluca_tpu.ns.operators import NSOperators
 from fluca_tpu.solvers.krylov import (
-    bicgstab, cg, fgmres, tree_add, tree_norm, tree_sub,
+    bicgstab, cg, fgmres, gcr, tree_add, tree_norm, tree_sub,
 )
 from fluca_tpu.solvers.mg import PoissonMG
 from fluca_tpu.utils import config
@@ -196,19 +196,22 @@ class CNLinearSolver:
         reference's block-structured rank decomposition, cart.c:85-151,
         as GSPMD sharding): every step program constrains its state to
         the grid-axis sharding, and XLA inserts the halo
-        collective-permutes / psum allreduces. Pallas kernels are not
-        GSPMD-partitionable, so sharded runs use the XLA banded paths
-        (shard_map'd kernels are the planned upgrade; see
-        parallel/halo.py for the overlapped building block)."""
+        collective-permutes / psum allreduces for the banded sweeps.
+
+        The fused Poisson kernels (the MG/Schur hot path) keep running
+        sharded: solvers.mg.set_device_grid rebuilds them as shard_map
+        programs with ppermute halo edges (parallel/pallas_sharded),
+        preserving the reference's decomposition-invariant hot path
+        (cnlinearcart2d.c:618-622). The momentum coefficient-field
+        kernels are not yet shard_map-wrapped; sharded runs use the
+        XLA coefficient path for the momentum block."""
         self.grid = grid
         self._step_jit = {}
         if grid is not None:
             self.ops._mom_kernel = None
             self.ops._mom_kernel3d = None
-            for lvl in self.mg.levels:
-                lvl.pallas_apply = None
-                lvl.pallas_residual = None
-                lvl.pallas_smooth = None
+            self.ops._chain3d = None
+            self.mg.set_device_grid(grid)
 
     def _constrain(self, state):
         if self.grid is None:
@@ -231,6 +234,9 @@ class CNLinearSolver:
         ops = self.ops
         v, U, p = x["v"], x["U"], x["p"]
         Av = ops.apply_A_coeffs(v, Acoeffs)
+        if ops._chain3d is not None:
+            out_v, out_U, out_p = ops._chain3d.coupled(Av, v, U, p)
+            return {"v": out_v, "U": out_U, "p": out_p}
         Gp = ops.apply_G(p)
         Tv = ops.apply_T(v)
         Rp = ops.apply_R(p)
@@ -255,6 +261,20 @@ class CNLinearSolver:
     def _solve_momentum(self, rhs_v, Acoeffs, diagA):
         ops = self.ops
         inv_diag = tuple(1.0 / d for d in diagA)
+
+        if self.cfg.mom_solver == "gcr":
+            # fixed-budget Jacobi-preconditioned GCR: 1 A-apply per
+            # iteration (vs BiCGStab's 2) with a residual-minimizing
+            # line search, so it cannot diverge where plain Jacobi
+            # does (convective CFL > ~1)
+            return gcr(
+                lambda v: ops.apply_A_coeffs(v, Acoeffs),
+                rhs_v,
+                maxiter=self.cfg.mom_maxiter,
+                M=lambda r: tuple(
+                    inv_diag[c] * r[c] for c in range(ops.dim)
+                ),
+            ).x
 
         if self.cfg.mom_solver == "jacobi":
             # mom_maxiter damped-Jacobi sweeps, unrolled: one fused
@@ -365,6 +385,17 @@ class CNLinearSolver:
         ainv1 = self._ainv_diag(self.cfg.schur_ainv, Acoeffs, diagA)
         ainv2 = self._ainv_diag(self.cfg.upper_ainv, Acoeffs, diagA)
         vstar = self._solve_momentum(r["v"], Acoeffs, diagA)
+        if (
+            ops._chain3d is not None
+            and ainv1 is None
+            and ainv2 is None
+        ):
+            # fused pre/post stages (one pass each instead of the
+            # T/D and G/Gst banded chains)
+            Ustar, rp = ops._chain3d.abf_pre(vstar, r["U"], r["p"])
+            p = self._solve_schur(rp, ainv1=None)
+            v, U = ops._chain3d.abf_post(vstar, Ustar, p)
+            return {"v": v, "U": U, "p": p}
         Tv = ops.apply_T(vstar)
         Ustar = tuple(r["U"][d] + Tv[d] for d in range(ops.dim))
         # rhs for Schur: contrhs - D U*
@@ -478,6 +509,20 @@ class CNLinearSolver:
             res.rnorm = tree_norm(r)
             res.iters = jnp.array(1, jnp.int32)
             res.converged = jnp.isfinite(res.rnorm)
+        elif self.cfg.outer_type == "gcr":
+            # fixed-budget flexible GCR: FGMRES-equivalent residual
+            # minimization without the ravel/basis/Givens machinery
+            # (see solvers.krylov.gcr). Robust at any CFL, unlike the
+            # richardson outer.
+            res = gcr(
+                lambda x: self._coupled_apply(x, Acoeffs),
+                rhs,
+                maxiter=self.cfg.maxiter,
+                M=lambda r: self._abf_apply(r, Acoeffs, diagA),
+            )
+            res.converged = jnp.logical_and(
+                res.converged, jnp.isfinite(jnp.sum(res.x["p"]))
+            )
         elif (
             self.cfg.outer_type == "richardson"
             and self.cfg.converged_skip

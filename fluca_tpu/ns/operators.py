@@ -183,6 +183,9 @@ class NSOperators:
         # 1-D bands + face-factor fields (build_momentum_apply_3d);
         # (prep, apply) pair, or None -> XLA banded path
         self._mom_kernel3d = None
+        # fused interp/div/grad chain stages (ops/pallas_chain3d):
+        # coupled epilogue + ABF pre/post in one pass each
+        self._chain3d = None
         import os
 
         if (
@@ -219,6 +222,18 @@ class NSOperators:
                     )
             except Exception:  # pragma: no cover
                 self._mom_kernel3d = None
+            try:
+                from fluca_tpu.ops.pallas_chain3d import Chain3D
+                from fluca_tpu.ops.pallas_stencil import (
+                    pallas_available,
+                )
+
+                if pallas_available():
+                    self._chain3d = Chain3D(
+                        mesh, axbcs, self.rho, self.dt, dtype
+                    )
+            except Exception:  # pragma: no cover
+                self._chain3d = None
 
     # ------------------------------------------------------------------
     # slice helpers

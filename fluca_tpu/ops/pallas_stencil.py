@@ -34,25 +34,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _build_poisson_2d(level, *, mode="apply", omega=0.8,
-                      tile_rows=128, interpret=False):
-    """Shared builder for the fused 2-D Poisson kernels.
-
-    mode="apply":    f(p)       = Shat p
-    mode="residual": f(p, b)    = b - Shat p
-    mode="smooth":   f(p, b, w) = p + omega * w * (b - Shat p)
-                     (one damped-Jacobi sweep; w = 1/diag(Shat))
-
-    All variants read each HBM tile exactly once — the residual and
-    smoother variants replace a Pallas apply followed by an XLA
-    elementwise pass (which re-reads Shat p, b, p, w from HBM) with a
-    single minimum-traffic kernel.
-    """
+def poisson2d_coeffs(level):
+    """Host-precomputed separable coefficient arrays (numpy f64):
+    RX (3, N0), RY (N0,), CY (N1,), CYb (3, N1). Shared by the local
+    and sharded (shard_map) kernel paths — under sharding each array
+    is sliced along its grid axis by the shard_map in_specs."""
     mesh = level.mesh
-    assert mesh.dim == 2
     N0, N1 = mesh.N
-    per0, per1 = mesh.periodic
-    dtype = level.vol.dtype
 
     def bands_1d(device_bands, n):
         out = {}
@@ -71,7 +59,31 @@ def _build_poisson_2d(level, *, mode="apply", omega=0.8,
     CY = hy
     RY = volrow
     CYb = np.stack([-hy * b for b in by], 0)  # (3, N1)
+    return RX, RY, CY, CYb
 
+
+def poisson2d_raw_call(N0, N1, dtype, *, mode="apply", omega=0.8,
+                       tile_rows=128, interpret=False):
+    """Bare pallas_call for the fused 2-D Poisson kernels, with every
+    position-dependent input (coefficients AND halo edges) passed as
+    an argument:
+
+      call(p, rx(3,N0), ry2(1,N0), cy(N1,), cyb(3,N1),
+           ue(ntiles,1,N1), de(ntiles,1,N1), le(N0,1), re(N0,1)
+           [, b][, w])
+
+    ue/de supply the rows crossing tile (and shard) boundaries along
+    axis 0; le/re the columns crossing axis-1 boundaries (wrapped lane
+    rolls inside; the le/re patch makes the kernel decomposition-
+    agnostic — under shard_map the caller fills them with ppermute'd
+    neighbor slabs, single-device callers with wrap/zero columns).
+
+    mode="apply":    f(p)       = Shat p
+    mode="residual": f(p, b)    = b - Shat p
+    mode="smooth":   f(p, b, w) = p + omega * w * (b - Shat p)
+
+    All variants read each HBM tile exactly once.
+    """
     # the smoother holds 3 input tiles + out + roll temporaries in
     # VMEM; halve the tile rows to stay under the 16 MB budget at
     # large N1 (see CLAUDE.md VMEM note)
@@ -83,21 +95,19 @@ def _build_poisson_2d(level, *, mode="apply", omega=0.8,
     while N0 % TM:
         TM //= 2
     ntiles = N0 // TM
-
-    rx = jnp.asarray(RX, dtype)
-    ry = jnp.asarray(RY, dtype)
-    cy = jnp.asarray(CY, dtype)
-    cyb = jnp.asarray(CYb, dtype)
     omega = float(omega)
 
-    def kernel(block, rxt, ryt, cy_ref, cyb_ref, ue, de, *rest):
+    def kernel(block, rxt, ryt, cy_ref, cyb_ref, ue, de, le, re,
+               *rest):
         # block: (TM, N1) tile of p; rxt: (3, TM) row coeffs for this
-        # tile; ryt: (TM,); ue/de: (1, N1) edge rows
+        # tile; ryt: (TM,); ue/de: (1, N1) edge rows; le/re: (TM, 1)
+        # edge columns
         out_ref = rest[-1]
         p = block[...]
         up = pltpu.roll(p, 1, 0)
         dn = pltpu.roll(p, TM - 1, 0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (TM, N1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TM, N1), 1)
         up = jnp.where(rows == 0, ue[0], up)
         dn = jnp.where(rows == TM - 1, de[0], dn)
 
@@ -110,6 +120,8 @@ def _build_poisson_2d(level, *, mode="apply", omega=0.8,
 
         left = pltpu.roll(p, 1, 1)
         right = pltpu.roll(p, N1 - 1, 1)
+        left = jnp.where(cols == 0, le[...], left)
+        right = jnp.where(cols == N1 - 1, re[...], right)
         cybm = cyb_ref[0, :][None, :]
         cyb0 = cyb_ref[1, :][None, :]
         cybp = cyb_ref[2, :][None, :]
@@ -142,6 +154,10 @@ def _build_poisson_2d(level, *, mode="apply", omega=0.8,
                          memory_space=pltpu.VMEM),  # up edges
             pl.BlockSpec((1, 1, N1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # down edges
+            pl.BlockSpec((TM, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # left edge col
+            pl.BlockSpec((TM, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # right edge col
         ] + [
             pl.BlockSpec((TM, N1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -158,47 +174,65 @@ def _build_poisson_2d(level, *, mode="apply", omega=0.8,
             transcendentals=0,
         ),
     )
+    return call, TM, ntiles
 
-    ry2 = ry[None, :]  # (1, N0) so per-tile block is (1, TM)
 
-    def edges(p):
-        p4 = p.reshape(ntiles, TM, N1)
-        ue = jnp.zeros((ntiles, N1), dtype)
-        de = jnp.zeros((ntiles, N1), dtype)
-        if ntiles > 1:
-            ue = ue.at[1:].set(p4[:-1, TM - 1, :])
-            de = de.at[:-1].set(p4[1:, 0, :])
-        if per0:
-            ue = ue.at[0].set(p[N0 - 1, :])
-            de = de.at[ntiles - 1].set(p[0, :])
-        return (
-            ue.reshape(ntiles, 1, N1),
-            de.reshape(ntiles, 1, N1),
-        )
+def poisson2d_tile_edges(p, TM, ntiles, periodic0, dtype):
+    """Axis-0 edge rows crossing TILE boundaries, from local data;
+    tile 0 / last-tile outer rows wrap (periodic) or zero."""
+    N0, N1 = p.shape
+    p4 = p.reshape(ntiles, TM, N1)
+    ue = jnp.zeros((ntiles, N1), dtype)
+    de = jnp.zeros((ntiles, N1), dtype)
+    if ntiles > 1:
+        ue = ue.at[1:].set(p4[:-1, TM - 1, :])
+        de = de.at[:-1].set(p4[1:, 0, :])
+    if periodic0:
+        ue = ue.at[0].set(p[N0 - 1, :])
+        de = de.at[ntiles - 1].set(p[0, :])
+    return (
+        ue.reshape(ntiles, 1, N1),
+        de.reshape(ntiles, 1, N1),
+    )
+
+
+def _build_poisson_2d(level, *, mode="apply", omega=0.8,
+                      tile_rows=128, interpret=False):
+    """Single-device wrapper over poisson2d_raw_call (the historical
+    builder API used by solvers.mg)."""
+    mesh = level.mesh
+    assert mesh.dim == 2
+    N0, N1 = mesh.N
+    per0, per1 = mesh.periodic
+    dtype = level.vol.dtype
+
+    RX, RY, CY, CYb = poisson2d_coeffs(level)
+    call, TM, ntiles = poisson2d_raw_call(
+        N0, N1, dtype, mode=mode, omega=omega, tile_rows=tile_rows,
+        interpret=interpret,
+    )
+
+    rx = jnp.asarray(RX, dtype)
+    ry2 = jnp.asarray(RY, dtype)[None, :]  # (1, N0): tile block (1, TM)
+    cy = jnp.asarray(CY, dtype)
+    cyb = jnp.asarray(CYb, dtype)
+
+    def lr_edges(p):
+        if per1:
+            return p[:, N1 - 1:N1], p[:, 0:1]
+        z = jnp.zeros((N0, 1), dtype)
+        return z, z
+
+    def run(p, *extra):
+        ue, de = poisson2d_tile_edges(p, TM, ntiles, per0, dtype)
+        le, re = lr_edges(p)
+        return call(p, rx, ry2, cy, cyb, ue, de, le, re, *extra)
 
     if mode == "apply":
-
-        @jax.jit
-        def apply(p):
-            ue, de = edges(p)
-            return call(p, rx, ry2, cy, cyb, ue, de)
-
-        return apply
+        return jax.jit(lambda p: run(p))
     if mode == "residual":
-
-        @jax.jit
-        def residual(p, b):
-            ue, de = edges(p)
-            return call(p, rx, ry2, cy, cyb, ue, de, b)
-
-        return residual
-
-    @jax.jit
-    def smooth(p, b, w):
-        ue, de = edges(p)
-        return call(p, rx, ry2, cy, cyb, ue, de, b, w)
-
-    return smooth
+        return jax.jit(lambda p, b: run(p, b))
+    return jax.jit(lambda p, b, w: run(p, b, w))
 
 
 def build_poisson_apply_2d(level, *, tile_rows=128, interpret=False):
@@ -222,6 +256,180 @@ def build_poisson_smooth_2d(level, omega, *, tile_rows=128,
     damped-Jacobi sweep (w = 1/diag(Shat))."""
     return _build_poisson_2d(level, mode="smooth", omega=omega,
                              tile_rows=tile_rows, interpret=interpret)
+
+
+def poisson3d_coeffs(level):
+    """Host-precomputed coefficient arrays for the 3-D kernel:
+    A0 (3, N0), H0 (N0,), W1 (3, N1, N2), W2 (3, N1, N2),
+    H12 (N1, N2). Under shard_map, A0/H0 slice along gx and
+    W1/W2/H12 along (gy, gz) via in_specs."""
+    mesh = level.mesh
+    N0, N1, N2 = mesh.N
+
+    def bands_1d(device_bands, n):
+        out = {}
+        for off, w in device_bands:
+            out[off] = np.asarray(w).reshape(-1)
+            assert out[off].shape == (n,)
+        z = np.zeros(n)
+        assert set(out) <= {-1, 0, 1}, set(out)
+        return out.get(-1, z), out.get(0, z), out.get(1, z)
+
+    b0 = bands_1d(level.dgst_bands[0], N0)
+    b1 = bands_1d(level.dgst_bands[1], N1)
+    b2 = bands_1d(level.dgst_bands[2], N2)
+    h0 = mesh.widths(0)
+    h1 = mesh.widths(1)
+    h2 = mesh.widths(2)
+    scale = float(
+        np.asarray(level.vol)[0, 0, 0] / (h0[0] * h1[0] * h2[0])
+    )
+    A0 = np.stack([-scale * h0 * b for b in b0], 0)  # (3, N0)
+    W1 = np.stack(
+        [(-scale * h1 * b)[:, None] * h2[None, :] for b in b1], 0
+    )  # (3, N1, N2)
+    W2 = np.stack(
+        [h1[:, None] * (-scale * h2 * b)[None, :] for b in b2], 0
+    )  # (3, N1, N2)
+    H12 = h1[:, None] * h2[None, :]  # (N1, N2)
+    return A0, h0, W1, W2, H12
+
+
+def poisson3d_raw_call(N0, N1, N2, dtype, *, mode="apply", omega=0.8,
+                       tile_slabs=16, interpret=False):
+    """Bare pallas_call for the fused 3-D Poisson kernels; every
+    position-dependent input is an argument:
+
+      call(a0(3,N0)[SMEM], h0(N0,)[SMEM], p, w1, w2, h12,
+           ue(ntiles,N1,N2), de(ntiles,N1,N2),
+           le1(N0,1,N2), re1(N0,1,N2), le2(N0,N1,1), re2(N0,N1,1)
+           [, b][, w])
+
+    le1/re1 patch the axis-1 sublane rolls at rows 0/N1-1, le2/re2
+    the axis-2 lane rolls at cols 0/N2-1 — filled with wrap/zero
+    locally or ppermute'd neighbor slabs under shard_map, so one
+    kernel serves both the single-device and the domain-decomposed
+    path (reference anchor: the hot path is decomposition-invariant,
+    cnlinearcart2d.c:618-622).
+
+    Raises ValueError when the cross-section exceeds the VMEM budget.
+    """
+    n_big = 2 + {"apply": 0, "residual": 1, "smooth": 2}[mode]
+    plane = N1 * N2 * np.dtype(np.float32).itemsize
+    budget = (14 << 20) - 17 * plane
+    if budget <= 2 * n_big * plane:
+        raise ValueError(
+            f"poisson3d kernel: cross-section {N1}x{N2} exceeds the "
+            f"VMEM budget (mode={mode})"
+        )
+    tm_max = max(1, budget // (2 * n_big * plane))
+    TM = int(min(tile_slabs, tm_max, N0))
+    while N0 % TM:
+        TM -= 1
+    ntiles = N0 // TM
+    omega = float(omega)
+
+    def kernel(a0t, h0t, block, w1r, w2r, h12r, ue, de,
+               le1, re1, le2, re2, *rest):
+        # a0t: (3, N0) SMEM scalars (full, indexed via program_id);
+        # h0t: (N0,) SMEM; block: (TM, N1, N2); w1r/w2r: (3, N1, N2);
+        # h12r: (N1, N2); ue/de: (1, N1, N2) edge planes;
+        # le1/re1: (TM, 1, N2); le2/re2: (TM, N1, 1)
+        out_ref = rest[-1]
+        base = pl.program_id(0) * TM
+        w1m, w10, w1p = w1r[0], w1r[1], w1r[2]
+        w2m, w20, w2p = w2r[0], w2r[1], w2r[2]
+        h12v = h12r[...]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 1)
+        for s in range(TM):
+            p = block[s]
+            up = ue[0] if s == 0 else block[s - 1]
+            dn = de[0] if s == TM - 1 else block[s + 1]
+            c0m = a0t[0, base + s]
+            c00 = a0t[1, base + s]
+            c0p = a0t[2, base + s]
+            term0 = (c0m * up + c00 * p + c0p * dn) * h12v
+
+            left = pltpu.roll(p, 1, 0)
+            right = pltpu.roll(p, N1 - 1, 0)
+            left = jnp.where(rows == 0, le1[s], left)
+            right = jnp.where(rows == N1 - 1, re1[s], right)
+            term1 = w1m * left + w10 * p + w1p * right
+
+            fwd = pltpu.roll(p, 1, 1)
+            bwd = pltpu.roll(p, N2 - 1, 1)
+            fwd = jnp.where(cols == 0, le2[s], fwd)
+            bwd = jnp.where(cols == N2 - 1, re2[s], bwd)
+            term2 = w2m * fwd + w20 * p + w2p * bwd
+
+            sp = term0 + h0t[base + s] * (term1 + term2)
+            if mode == "apply":
+                out_ref[s] = sp
+            elif mode == "residual":
+                out_ref[s] = rest[0][s] - sp
+            else:  # smooth
+                b_ref, w_ref = rest[0], rest[1]
+                out_ref[s] = p + omega * w_ref[s] * (b_ref[s] - sp)
+
+    n_extra = {"apply": 0, "residual": 1, "smooth": 2}[mode]
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N0, N1, N2), dtype),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # a0 (3, N0)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # h0 (N0,)
+            pl.BlockSpec((TM, N1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 (3, N1, N2)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 (3, N1, N2)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h12 (N1, N2)
+            pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # up edge planes
+            pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # down edge planes
+            pl.BlockSpec((TM, 1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # le1
+            pl.BlockSpec((TM, 1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # re1
+            pl.BlockSpec((TM, N1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # le2
+            pl.BlockSpec((TM, N1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # re2
+        ] + [
+            pl.BlockSpec((TM, N1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_extra)
+        ],
+        out_specs=pl.BlockSpec(
+            (TM, N1, N2), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(16 + 3 * n_extra) * N0 * N1 * N2,
+            bytes_accessed=(2 + n_extra) * N0 * N1 * N2
+            * np.dtype(np.float32).itemsize,
+            transcendentals=0,
+        ),
+    )
+    return call, TM, ntiles
+
+
+def poisson3d_tile_edges(p, TM, ntiles, periodic0, dtype):
+    """Axis-0 edge planes crossing TILE boundaries (local data)."""
+    N0, N1, N2 = p.shape
+    p4 = p.reshape(ntiles, TM, N1, N2)
+    ue = jnp.zeros((ntiles, N1, N2), dtype)
+    de = jnp.zeros((ntiles, N1, N2), dtype)
+    if ntiles > 1:
+        ue = ue.at[1:].set(p4[:-1, TM - 1])
+        de = de.at[:-1].set(p4[1:, 0])
+    if periodic0:
+        ue = ue.at[0].set(p[N0 - 1])
+        de = de.at[ntiles - 1].set(p[0])
+    return ue, de
 
 
 def _build_poisson_3d(level, *, mode="apply", omega=0.8,
@@ -251,171 +459,45 @@ def _build_poisson_3d(level, *, mode="apply", omega=0.8,
     mesh = level.mesh
     assert mesh.dim == 3
     N0, N1, N2 = mesh.N
-    per0 = mesh.periodic[0]
+    per0, per1, per2 = mesh.periodic
     dtype = level.vol.dtype
 
-    def bands_1d(device_bands, n):
-        out = {}
-        for off, w in device_bands:
-            out[off] = np.asarray(w).reshape(-1)
-            assert out[off].shape == (n,)
-        z = np.zeros(n)
-        assert set(out) <= {-1, 0, 1}, set(out)
-        return out.get(-1, z), out.get(0, z), out.get(1, z)
-
-    b0 = bands_1d(level.dgst_bands[0], N0)
-    b1 = bands_1d(level.dgst_bands[1], N1)
-    b2 = bands_1d(level.dgst_bands[2], N2)
-    h0 = mesh.widths(0)
-    h1 = mesh.widths(1)
-    h2 = mesh.widths(2)
-    scale = float(
-        np.asarray(level.vol)[0, 0, 0] / (h0[0] * h1[0] * h2[0])
+    A0, H0, W1, W2, H12 = poisson3d_coeffs(level)
+    call, TM, ntiles = poisson3d_raw_call(
+        N0, N1, N2, dtype, mode=mode, omega=omega,
+        tile_slabs=tile_slabs, interpret=interpret,
     )
 
-    A0 = np.stack([-scale * h0 * b for b in b0], 0)  # (3, N0)
-    W1 = np.stack(
-        [(-scale * h1 * b)[:, None] * h2[None, :] for b in b1], 0
-    )  # (3, N1, N2)
-    W2 = np.stack(
-        [h1[:, None] * (-scale * h2 * b)[None, :] for b in b2], 0
-    )  # (3, N1, N2)
-    H12 = h1[:, None] * h2[None, :]  # (N1, N2)
-
-    # VMEM budget: blocked refs are double-buffered by the pipeline,
-    # so each TM-slab ref costs 2 tiles. Big refs: p + extras + out.
-    # Fixed planes: w1/w2 (6) + h12 (1) + edges (2 refs x 2 buffers)
-    # + ~6 roll/epilogue temporaries.
-    n_big = 2 + {"apply": 0, "residual": 1, "smooth": 2}[mode]
-    plane = N1 * N2 * np.dtype(np.float32).itemsize
-    budget = (14 << 20) - 17 * plane
-    if budget <= 2 * n_big * plane:
-        # the fixed w1/w2/h12/edge planes (+1 slab per big ref) would
-        # blow the 16 MB VMEM: refuse at BUILD time so callers fall
-        # back to the XLA banded path instead of failing Mosaic
-        # compile lazily at first solve
-        raise ValueError(
-            f"poisson3d kernel: cross-section {N1}x{N2} exceeds the "
-            f"VMEM budget (mode={mode})"
-        )
-    tm_max = max(1, budget // (2 * n_big * plane))
-    TM = int(min(tile_slabs, tm_max, N0))
-    while N0 % TM:
-        TM -= 1
-    ntiles = N0 // TM
-
     a0 = jnp.asarray(A0, dtype)                     # (3, N0)
-    h0j = jnp.asarray(h0, dtype)                    # (N0,)
+    h0j = jnp.asarray(H0, dtype)                    # (N0,)
     w1 = jnp.asarray(W1, dtype)
     w2 = jnp.asarray(W2, dtype)
     h12 = jnp.asarray(H12, dtype)
-    omega = float(omega)
 
-    def kernel(a0t, h0t, block, w1r, w2r, h12r, ue, de, *rest):
-        # a0t: (3, N0) SMEM scalars (full, indexed via program_id);
-        # h0t: (N0,) SMEM; block: (TM, N1, N2); w1r/w2r: (3, N1, N2);
-        # h12r: (N1, N2); ue/de: (1, N1, N2) edge planes
-        out_ref = rest[-1]
-        base = pl.program_id(0) * TM
-        w1m, w10, w1p = w1r[0], w1r[1], w1r[2]
-        w2m, w20, w2p = w2r[0], w2r[1], w2r[2]
-        h12v = h12r[...]
-        for s in range(TM):
-            p = block[s]
-            up = ue[0] if s == 0 else block[s - 1]
-            dn = de[0] if s == TM - 1 else block[s + 1]
-            c0m = a0t[0, base + s]
-            c00 = a0t[1, base + s]
-            c0p = a0t[2, base + s]
-            term0 = (c0m * up + c00 * p + c0p * dn) * h12v
+    def lr_edges(p):
+        if per1:
+            le1 = p[:, N1 - 1:N1, :]
+            re1 = p[:, 0:1, :]
+        else:
+            le1 = re1 = jnp.zeros((N0, 1, N2), dtype)
+        if per2:
+            le2 = p[:, :, N2 - 1:N2]
+            re2 = p[:, :, 0:1]
+        else:
+            le2 = re2 = jnp.zeros((N0, N1, 1), dtype)
+        return le1, re1, le2, re2
 
-            left = pltpu.roll(p, 1, 0)
-            right = pltpu.roll(p, N1 - 1, 0)
-            term1 = w1m * left + w10 * p + w1p * right
-
-            fwd = pltpu.roll(p, 1, 1)
-            bwd = pltpu.roll(p, N2 - 1, 1)
-            term2 = w2m * fwd + w20 * p + w2p * bwd
-
-            sp = term0 + h0t[base + s] * (term1 + term2)
-            if mode == "apply":
-                out_ref[s] = sp
-            elif mode == "residual":
-                out_ref[s] = rest[0][s] - sp
-            else:  # smooth
-                b_ref, w_ref = rest[0], rest[1]
-                out_ref[s] = p + omega * w_ref[s] * (b_ref[s] - sp)
-
-    n_extra = {"apply": 0, "residual": 1, "smooth": 2}[mode]
-    call = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((N0, N1, N2), dtype),
-        grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # a0 (3, N0)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # h0 (N0,)
-            pl.BlockSpec((TM, N1, N2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 (3, N1, N2)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 (3, N1, N2)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # h12 (N1, N2)
-            pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # up edge planes
-            pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # down edge planes
-        ] + [
-            pl.BlockSpec((TM, N1, N2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(n_extra)
-        ],
-        out_specs=pl.BlockSpec(
-            (TM, N1, N2), lambda i: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=(16 + 3 * n_extra) * N0 * N1 * N2,
-            bytes_accessed=(2 + n_extra) * N0 * N1 * N2
-            * np.dtype(np.float32).itemsize,
-            transcendentals=0,
-        ),
-    )
-
-    def edges(p):
-        p4 = p.reshape(ntiles, TM, N1, N2)
-        ue = jnp.zeros((ntiles, N1, N2), dtype)
-        de = jnp.zeros((ntiles, N1, N2), dtype)
-        if ntiles > 1:
-            ue = ue.at[1:].set(p4[:-1, TM - 1])
-            de = de.at[:-1].set(p4[1:, 0])
-        if per0:
-            ue = ue.at[0].set(p[N0 - 1])
-            de = de.at[ntiles - 1].set(p[0])
-        return ue, de
+    def run(p, *extra):
+        ue, de = poisson3d_tile_edges(p, TM, ntiles, per0, dtype)
+        le1, re1, le2, re2 = lr_edges(p)
+        return call(a0, h0j, p, w1, w2, h12, ue, de,
+                    le1, re1, le2, re2, *extra)
 
     if mode == "apply":
-
-        @jax.jit
-        def apply(p):
-            ue, de = edges(p)
-            return call(a0, h0j, p, w1, w2, h12, ue, de)
-
-        return apply
+        return jax.jit(lambda p: run(p))
     if mode == "residual":
-
-        @jax.jit
-        def residual(p, b):
-            ue, de = edges(p)
-            return call(a0, h0j, p, w1, w2, h12, ue, de, b)
-
-        return residual
-
-    @jax.jit
-    def smooth(p, b, w):
-        ue, de = edges(p)
-        return call(a0, h0j, p, w1, w2, h12, ue, de, b, w)
-
-    return smooth
+        return jax.jit(lambda p, b: run(p, b))
+    return jax.jit(lambda p, b, w: run(p, b, w))
 
 
 def build_poisson_apply_3d(level, *, tile_slabs=16, interpret=False):

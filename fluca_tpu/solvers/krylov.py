@@ -185,6 +185,67 @@ def _nz(x):
 
 
 # ----------------------------------------------------------------------
+# Fixed-budget flexible GCR (generalized conjugate residual)
+# ----------------------------------------------------------------------
+
+def gcr(
+    A: Callable,
+    b,
+    x0=None,
+    *,
+    maxiter: int,
+    M: Optional[Callable] = None,
+) -> KrylovResult:
+    """Fully-unrolled flexible GCR: minimizes the residual over the
+    same Krylov space as FGMRES (identical iterates in exact
+    arithmetic) but tree-native — no state ravel, no (m+1, n) basis
+    buffers, no Givens/Hessenberg machinery. The residual norm is
+    non-increasing even under a rough/variable preconditioner, which
+    makes it the robust replacement for plain Richardson in the
+    fixed-budget production presets (Richardson x += M r diverges
+    once the convective CFL pushes the ABF approximation error past
+    ||I - MA|| = 1; GCR cannot).
+
+    Work per iteration: 1 A-apply + 1 M-apply + 2(j+1) tree dots +
+    ~2(j+1) tree axpys. Intended for small fixed budgets
+    (maxiter <= ~6). Reference anchor: the outer coupled solve is
+    -ns_ksp_type fgmres at rtol 1e-5 (nssol.c:22-25); this is the
+    budgeted equivalent.
+    """
+    M = M or _identity
+    if x0 is None:
+        x = tree_zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = tree_sub(b, A(x0))
+    zs, ws = [], []
+    for _ in range(maxiter):
+        z = M(r)
+        w = A(z)
+        # orthogonalize w against previous (normalized) directions
+        for zi, wi in zip(zs, ws):
+            beta = tree_dot(w, wi)
+            w = tree_axpy(-beta, wi, w)
+            z = tree_axpy(-beta, zi, z)
+        inv = lax.rsqrt(_nz(tree_dot(w, w)))
+        w = tree_scale(inv, w)
+        z = tree_scale(inv, z)
+        alpha = tree_dot(w, r)
+        x = tree_axpy(alpha, z, x)
+        r = tree_axpy(-alpha, w, r)
+        zs.append(z)
+        ws.append(w)
+    rnorm = tree_norm(r)
+    return KrylovResult(
+        x=x,
+        iters=jnp.array(maxiter, jnp.int32),
+        rnorm=rnorm,
+        converged=jnp.isfinite(rnorm),
+    )
+
+
+# ----------------------------------------------------------------------
 # Flexible GMRES (right-preconditioned; the outer coupled solver,
 # matching the reference's -ns_ksp_type fgmres with PCABF)
 # ----------------------------------------------------------------------
