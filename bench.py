@@ -22,6 +22,39 @@ import time
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
+# Perf-regression bands (VERDICT r2 item 7): the full bench run exits
+# nonzero when a committed floor is breached, so a deliberate (or
+# accidental) kernel slowdown fails CI instead of silently shipping.
+# Floors sit ~10% under the best committed measurement (tunnel jitter
+# margin); ratchet them when a kernel lever lands. Skipped off-TPU.
+PERF_BANDS = {
+    "roofline_frac": 0.85,             # r2: 0.938
+    "cavity2d_256_steps_per_sec": 350,  # r2: 392.6
+    "cavity3d_64_steps_per_sec": 74,    # r2: 82.1
+    "channel3d_128_steps_per_sec": 13,  # r2: 14.68
+}
+
+
+def check_bands(values) -> int:
+    """Compare measured values against PERF_BANDS; print violations
+    and return the number of breaches (0 = pass)."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        return 0
+    bad = 0
+    for key, floor in PERF_BANDS.items():
+        got = values.get(key)
+        if got is None:
+            continue
+        if got < floor:
+            print(
+                f"PERF REGRESSION: {key} = {got} < floor {floor}",
+                file=sys.stderr,
+            )
+            bad += 1
+    return bad
+
 
 def slope_time_per_iter(fn, x, iters_lo=50, iters_hi=400, repeats=3):
     """Seconds per application of fn, fixed overheads removed.
@@ -152,6 +185,9 @@ def main():
             }
         )
     )
+    if "--quick" not in sys.argv and "error" not in extra:
+        if check_bands({"roofline_frac": frac, **extra}):
+            sys.exit(1)
 
 
 def _advance_throughput(ns, steps):

@@ -68,10 +68,39 @@ def test_fast_path_3d_smoke():
     from fluca_tpu.models.cavity import setup_cavity_3d
 
     ns = setup_cavity_3d(N=(8, 8, 8), dt=0.02, max_steps=5)
-    ns.impl.cfg = CNLinearConfig.production_fast()
+    # reduced budgets: this is a does-the-3-D-path-work smoke, and
+    # the full o3/m8/s6 unroll took ~11.5 min of XLA CPU compile
+    # (measured 2026-08-20) for no extra coverage
+    ns.impl.cfg = CNLinearConfig.production_fast(2, 4, 3)
     ns.solve()
     assert bool(ns.last_diag["converged"])
     assert np.all(np.isfinite(np.asarray(ns.state["v"][0])))
+
+
+def test_production_budget_at_production_size():
+    """Pin the fixed budgets (o3/m8/s6) at a production-like size:
+    the presets were tuned at small grids, and VERDICT r2 flagged
+    that nothing checked them where the Krylov contraction actually
+    has to work. Cavity 128^2, 50 steps: the budgeted end state must
+    track the converged (rtol 1e-5) solve to well below the velocity
+    scale."""
+    from fluca_tpu.models.cavity import setup_cavity_2d
+
+    def run(cfg):
+        ns = setup_cavity_2d(N=128, Re=100.0, dt=0.005, max_steps=60)
+        ns.impl.cfg = cfg
+        ns.advance(50)
+        return [np.asarray(f) for f in ns.state["v"]] + [
+            np.asarray(ns.state["p"])
+        ]
+
+    ref = run(CNLinearConfig())          # converged: rtol 1e-5
+    got = run(CNLinearConfig.production())
+    umax = max(np.max(np.abs(f)) for f in ref[:2])  # = lid speed 1
+    for a, b in zip(got, ref):
+        assert np.max(np.abs(a - b)) < 2e-4 * umax, np.max(
+            np.abs(a - b)
+        )
 
 
 def test_coarse_pinv_is_exact():

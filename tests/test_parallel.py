@@ -138,11 +138,12 @@ def test_sharded_step_collective_counts():
     n_ag = txt.count("all-gather(")
     # halo exchanges ride collective-permute; Krylov dots / mean
     # projections ride all-reduce; all-gather only appears for the
-    # tiny MG coarse levels below the shardable size. These counts
-    # were measured on the production preset (o3/m8/s6) — update
-    # deliberately if the solver structure changes.
+    # tiny MG coarse levels below the shardable size. Bounds are
+    # measured+10% on the production preset (o3/m8/s6): cp=245,
+    # ar=26, ag=68 (2026-08-20) — update deliberately if the solver
+    # structure changes.
     assert n_cp > 0 and n_ar > 0
     assert n_cp <= 270, f"collective-permute count grew: {n_cp}"
-    assert n_ar <= 120, f"all-reduce count grew: {n_ar}"
-    assert n_ag <= 90, f"all-gather count grew: {n_ag}"
+    assert n_ar <= 29, f"all-reduce count grew: {n_ar}"
+    assert n_ag <= 75, f"all-gather count grew: {n_ag}"
     print(f"collectives: cp={n_cp} ar={n_ar} ag={n_ag}")
