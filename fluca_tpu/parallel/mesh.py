@@ -68,8 +68,12 @@ def make_device_grid(
     n = len(devices)
     if shape is None:
         shape = _factor(n, dim)
-    assert int(np.prod(shape)) == n
-    dev_array = np.array(devices).reshape(shape)
+    want = int(np.prod(shape))
+    assert want <= n, f"grid {shape} needs {want} devices, have {n}"
+    # a grid smaller than the host's device count uses the leading
+    # devices (e.g. -parallel_grid 1x1 on an 8-device host runs
+    # single-device; reference analogue: -cart_ranks_* with np=1)
+    dev_array = np.array(devices[:want]).reshape(shape)
     mesh = Mesh(dev_array, AXIS_NAMES[:dim])
     return DeviceGrid(mesh=mesh, dim=dim)
 

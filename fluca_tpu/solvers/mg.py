@@ -250,8 +250,10 @@ class PoissonMG:
                     lvl.pallas_smooth = None
                 return
             interpret = False
-        if grid is None:
-            # rebuild the single-device kernels
+        if grid is None or grid.mesh.devices.size == 1:
+            # no grid, or a degenerate 1-device grid (sharding is
+            # trivial): the plain single-device kernels are exactly
+            # the no-regression path
             self._build_pallas_kernels()
             return
         from fluca_tpu.parallel.pallas_sharded import (
