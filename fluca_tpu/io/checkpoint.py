@@ -280,11 +280,15 @@ def load_checkpoint(path: str, ns) -> None:
 
     dim = ns.mesh.dim
     ns.setup()
+    # cast to the solver dtype: a checkpoint written at one precision
+    # restarts at another (bitwise round-trip is preserved when the
+    # dtypes match — the cast is a no-op then)
+    dt_ = ns.dtype
     ns.set_solution(
-        v=tuple(jnp.asarray(data[f"v{c}"]) for c in range(dim)),
-        U=tuple(jnp.asarray(data[f"U{d}"]) for d in range(dim)),
-        p=jnp.asarray(data["p"]),
-        phalf=jnp.asarray(data["phalf"]),
+        v=tuple(jnp.asarray(data[f"v{c}"], dt_) for c in range(dim)),
+        U=tuple(jnp.asarray(data[f"U{d}"], dt_) for d in range(dim)),
+        p=jnp.asarray(data["p"], dt_),
+        phalf=jnp.asarray(data["phalf"], dt_),
     )
     ns.step_index = int(meta["step"])
     ns.t = float(meta["time"])
