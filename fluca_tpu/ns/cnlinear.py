@@ -607,17 +607,90 @@ class CNLinearSolver:
         }
         return new_state, diag
 
+    # -- full-grid coefficient tables as runtime arguments ------------
+    # The O(N^3) coefficient fields (Jacobi diagonals, MG volumes /
+    # inverse diagonals, the dense coarse pinv) must reach the
+    # compiled step as PARAMETERS, not as closure constants: embedded
+    # as dense HLO constants they serialize ~50 MB at 128^3 and
+    # >1.5 GB at 512x256x256, which the remote-compile transport
+    # rejects (HTTP 413) and which bloats every compile. The tables
+    # are swapped to tracers for the duration of the trace, so every
+    # attr read inside _step_impl consumes the jit argument.
+    # Engage only when the tables are actually large (>= ~16 MB,
+    # i.e. 3-D production grids): below that the embedded-constant
+    # path is cheap, and the small-grid CPU test matrix keeps its
+    # long-proven compiled artifacts bit-for-bit.
+    _TABLE_PARAM_BYTES = 16 << 20
+
+    def _big_tables(self):
+        mg_tabs = [
+            (lvl.vol, lvl.cellvol, lvl.inv_diag)
+            for lvl in self.mg.levels
+        ]
+        return {
+            "diag_L": tuple(self.ops.diag_L),
+            "mg": mg_tabs,
+            "pinv": getattr(self.mg, "_coarse_pinv", None),
+        }
+
+    @staticmethod
+    def _donate():
+        """Donate the state into the step only on TPU. On the CPU
+        backend, donation of the sharded state (8 virtual devices)
+        triggers latent heap corruption inside XLA (glibc
+        MALLOC_CHECK_=3 flags 'corrupted size vs. prev_size' right
+        after a donated cavity solve; downstream compiles then NaN or
+        abort depending on heap layout — reproduced 2026-08-20 on
+        jax 0.9.0). CPU runs are the f64 test matrix where memory is
+        ample, so donation buys nothing there anyway.
+        """
+        import jax as _jax
+
+        on_tpu = _jax.devices()[0].platform == "tpu"
+        return (0,) if on_tpu else ()
+
+    def _tables_as_params(self) -> bool:
+        import jax.tree_util as jtu
+
+        return sum(
+            x.size * x.dtype.itemsize
+            for x in jtu.tree_leaves(self._big_tables())
+        ) >= self._TABLE_PARAM_BYTES
+
+    def _set_big_tables(self, tabs):
+        old = self._big_tables()
+        self.ops.diag_L = tuple(tabs["diag_L"])
+        for lvl, (v, cv, idg) in zip(self.mg.levels, tabs["mg"]):
+            lvl.vol, lvl.cellvol, lvl.inv_diag = v, cv, idg
+        if tabs["pinv"] is not None:
+            self.mg._coarse_pinv = tabs["pinv"]
+        return old
+
+    def _traced_step(self, state, t, tabs, is_first):
+        old = self._set_big_tables(tabs)
+        try:
+            return self._step_impl(state, t, is_first_step=is_first)
+        finally:
+            self._set_big_tables(old)
+
     def step(self, state, t, step_index: int):
         """Jitted single step; two compiled variants (first step uses
         q = p0, later steps q = phalf)."""
         is_first = step_index == 0
+        t = jnp.asarray(t, self.dtype)
+        if not self._tables_as_params():
+            if is_first not in self._step_jit:
+                self._step_jit[is_first] = jax.jit(
+                    partial(self._step_impl, is_first_step=is_first),
+                    donate_argnums=self._donate(),
+                )
+            return self._step_jit[is_first](state, t)
         if is_first not in self._step_jit:
             self._step_jit[is_first] = jax.jit(
-                partial(self._step_impl, is_first_step=is_first),
-                donate_argnums=(0,),
+                partial(self._traced_step, is_first=is_first),
+                donate_argnums=self._donate(),
             )
-        t = jnp.asarray(t, self.dtype)
-        return self._step_jit[is_first](state, t)
+        return self._step_jit[is_first](state, t, self._big_tables())
 
     def multi_step(self, state, t, n: int):
         """Production fast path: n non-first steps fused into one XLA
@@ -625,13 +698,19 @@ class CNLinearSolver:
         (state, diag-of-last-step with worst-case rnorm/min
         convergence across the batch)."""
         if "scan" not in self._step_jit:
+            as_params = self._tables_as_params()
 
-            def run(state, t0, n):
+            def run(state, t0, tabs, n):
                 def body(carry, _):
                     st, tt = carry
-                    new, diag = self._step_impl(
-                        st, tt, is_first_step=False
-                    )
+                    if as_params:
+                        new, diag = self._traced_step(
+                            st, tt, tabs, is_first=False
+                        )
+                    else:
+                        new, diag = self._step_impl(
+                            st, tt, is_first_step=False
+                        )
                     return (new, tt + self.dt), (
                         diag["ksp_iters"],
                         diag["ksp_rnorm"],
@@ -648,7 +727,11 @@ class CNLinearSolver:
                 }
 
             self._step_jit["scan"] = jax.jit(
-                run, static_argnums=(2,), donate_argnums=(0,)
+                run, static_argnums=(3,),
+                donate_argnums=self._donate(),
             )
         t = jnp.asarray(t, self.dtype)
-        return self._step_jit["scan"](state, t, int(n))
+        tabs = (
+            self._big_tables() if self._tables_as_params() else None
+        )
+        return self._step_jit["scan"](state, t, tabs, int(n))
