@@ -43,8 +43,14 @@ CHUNK = 250
 # against confinement (lateral width L/D) and inflow distance:
 #   L=3: 21.3 c/D, 6D width, 2D upstream  (most resolved, most confined)
 #   L=4: 16.0 c/D, 8D width, 3D upstream
-L = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
+L = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
 CENTER_X = {3.0: 1.0, 4.0: 1.5}.get(L, 0.375 * L)
+
+# Marker retraction (cell widths, argv[2]): the roma3 delta smears the
+# no-slip surface ~0.5h outward, so un-retracted runs over-predict cd
+# by (R_eff/R)^2 (measured: 1.2504 at L=4, implying alpha ~= 0.57h).
+# Breugem (JCP 2012) retraction cancels it; 0.5h predicts cd ~= 1.12.
+RETRACT = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
 
 
 def cd_of(ns, ibm):
@@ -64,6 +70,7 @@ def main():
         N=(128, 128, 128), domain=(L, L, L),
         center=(CENTER_X, L / 2, L / 2), diameter=D, Re=100.0,
         U_in=U_IN, dt=DT, max_steps=10**9, dtype=jnp.float32,
+        retract=RETRACT,
     )
     ns.impl.cfg = CNLinearConfig.production(outer=3, mom=8, schur=8)
     ops = ns.impl.ops
@@ -113,6 +120,7 @@ def main():
         N=(128, 128, 128), domain=(L, L, L),
         center=(CENTER_X, L / 2, L / 2), diameter=D, Re=100.0,
         U_in=U_IN, dt=DT, max_steps=10**9, dtype=jnp.float32,
+        retract=RETRACT,
     )
     ns2.impl.cfg = CNLinearConfig.production(outer=3, mom=8, schur=8)
     load_solution_cgns(cgns, ns2)
@@ -126,6 +134,7 @@ def main():
     out = {
         "config": "sphere 128^3 Re=100 (BASELINE #4)",
         "domain_L": L,
+        "retract": RETRACT,
         "cd": round(cd, 4),
         "cd_literature": [1.08, 1.10],
         "band": [1.0, 1.15],

@@ -135,23 +135,33 @@ class MarkerSet:
 
 def sphere_markers(
     mesh: CartMesh, center, radius, n_markers=None, kernel="roma3",
-    dtype=None,
+    dtype=None, retract=0.0,
 ) -> MarkerSet:
     """Quasi-uniform markers on a sphere via the Fibonacci lattice,
     spaced ~ grid h, each owning surface area ~ (4 pi r^2 / Nm) * h
-    (volumetric thickness ~h, as for circle_markers)."""
+    (volumetric thickness ~h, as for circle_markers).
+
+    ``retract`` (in cell widths): place markers at radius - retract*h.
+    The regularized delta smears the no-slip surface outward by
+    ~0.5h, so the effective hydrodynamic radius exceeds the marker
+    radius and drag is over-predicted at moderate cells/diameter;
+    inward retraction by 0.3-0.5h cancels the widening (Breugem,
+    J. Comput. Phys. 231 (2012) 4469-4498, Sec. 3). Marker count and
+    quadrature weights stay tied to the NOMINAL radius (the physics
+    surface)."""
     h = float(mesh.widths(0)[0])
     if n_markers is None:
         n_markers = max(int(np.ceil(4 * np.pi * radius**2 / h**2)), 16)
+    r_mark = radius - retract * h
     i = np.arange(n_markers) + 0.5
     phi = np.arccos(1.0 - 2.0 * i / n_markers)
     golden = np.pi * (1.0 + 5.0**0.5)
     theta = golden * i
     X = np.stack(
         [
-            center[0] + radius * np.sin(phi) * np.cos(theta),
-            center[1] + radius * np.sin(phi) * np.sin(theta),
-            center[2] + radius * np.cos(phi),
+            center[0] + r_mark * np.sin(phi) * np.cos(theta),
+            center[1] + r_mark * np.sin(phi) * np.sin(theta),
+            center[2] + r_mark * np.cos(phi),
         ],
         axis=1,
     )
@@ -168,18 +178,20 @@ def sphere_markers(
 
 def circle_markers(
     mesh: CartMesh, center, radius, n_markers=None, kernel="roma3",
-    dtype=None,
+    dtype=None, retract=0.0,
 ) -> MarkerSet:
     """Markers on a circle with spacing ~ grid h (the standard ds ~= h
-    rule)."""
+    rule).  ``retract``: see sphere_markers (Breugem 2012 effective-
+    radius correction, in cell widths)."""
     import jax.numpy as jnp
 
     h = float(mesh.widths(0)[0])
     if n_markers is None:
         n_markers = max(int(np.ceil(2 * np.pi * radius / h)), 8)
     th = np.linspace(0.0, 2 * np.pi, n_markers, endpoint=False)
+    r_mark = radius - retract * h
     X = np.stack(
-        [center[0] + radius * np.cos(th), center[1] + radius * np.sin(th)],
+        [center[0] + r_mark * np.cos(th), center[1] + r_mark * np.sin(th)],
         axis=1,
     )
     ds = np.full(n_markers, 2 * np.pi * radius / n_markers * h)

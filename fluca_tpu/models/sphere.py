@@ -26,6 +26,7 @@ def setup_sphere_3d(
     max_steps=50,
     kernel="roma3",
     dtype=None,
+    retract=0.0,
 ):
     dtype = dtype or config.default_dtype()
     mesh = CartMesh.create(N)
@@ -53,7 +54,8 @@ def setup_sphere_3d(
     ns.setup()
 
     markers = sphere_markers(
-        mesh, center, diameter / 2.0, kernel=kernel, dtype=dtype
+        mesh, center, diameter / 2.0, kernel=kernel, dtype=dtype,
+        retract=retract,
     )
     ibm = DirectForcingIBM(markers, dt)
     ns.impl.body_force = ibm.body_force

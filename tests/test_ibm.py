@@ -105,3 +105,34 @@ def test_cylinder_direct_forcing_enforces_no_slip():
 
     cd, cl = drag_lift_coefficients(ns, ibm, U_in=1.0, diameter=0.25)
     assert cd > 0.3, cd
+
+
+def test_marker_retraction_geometry():
+    """retract=r places markers at radius - r*h while the quadrature
+    weights keep the nominal surface area (Breugem 2012 effective-
+    radius correction)."""
+    m = _unit_mesh()
+    h = float(m.widths(0)[0])
+    R = 0.2
+    mk0 = circle_markers(m, (0.5, 0.5), R)
+    mk1 = circle_markers(m, (0.5, 0.5), R, retract=0.5)
+    r0 = np.linalg.norm(np.asarray(mk0.X) - 0.5, axis=1)
+    r1 = np.linalg.norm(np.asarray(mk1.X) - 0.5, axis=1)
+    np.testing.assert_allclose(r0, R, rtol=1e-6)
+    np.testing.assert_allclose(r1, R - 0.5 * h, rtol=1e-6)
+    # quadrature unchanged: ds still integrates the nominal surface
+    np.testing.assert_allclose(
+        float(jnp.sum(mk1.ds)), 2 * np.pi * R * h, rtol=1e-6
+    )
+    from fluca_tpu.ibm.markers import sphere_markers
+
+    m3 = CartMesh.create((16, 16, 16))
+    m3.set_uniform_coordinates(0, 1, 0, 1, 0, 1)
+    h3 = float(m3.widths(0)[0])
+    s1 = sphere_markers(m3, (0.5, 0.5, 0.5), R, kernel="roma3",
+                        retract=0.4)
+    rs = np.linalg.norm(np.asarray(s1.X) - 0.5, axis=1)
+    np.testing.assert_allclose(rs, R - 0.4 * h3, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(jnp.sum(s1.ds)), 4 * np.pi * R**2 * h3, rtol=1e-6
+    )
