@@ -28,10 +28,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 # Floors sit ~10% under the best committed measurement (tunnel jitter
 # margin); ratchet them when a kernel lever lands. Skipped off-TPU.
 PERF_BANDS = {
-    "roofline_frac": 0.85,             # r2: 0.938
-    "cavity2d_256_steps_per_sec": 350,  # r2: 392.6
-    "cavity3d_64_steps_per_sec": 74,    # r2: 82.1
-    "channel3d_128_steps_per_sec": 13,  # r2: 14.68
+    "roofline_frac": 0.85,             # r2: 0.938, r3: 0.918
+    "cavity2d_256_steps_per_sec": 350,  # r2: 392.6, r3: 395.9
+    "cavity3d_64_steps_per_sec": 74,    # r2: 82.1, r3: 80.4
+    "channel3d_128_steps_per_sec": 13,  # r2: 14.68, r3: 14.64
+    "channel512_steps_per_sec": 0.45,   # r3: 0.556 (BASELINE #5 size)
 }
 
 

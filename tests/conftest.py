@@ -52,6 +52,7 @@ _SLOW = {
     "test_advance_monitor_interval",
     "test_ns_converged_reasons",
     "test_cavity_ghia_re100_64",
+    "test_stretched_channel_fixed_budget_solvers",
 }
 
 

@@ -113,3 +113,45 @@ def test_channel3d_wall_clustered_grid():
     # clustered: wall cells much thinner than center cells; symmetric
     assert wy[0] < 0.2 * wy[len(wy) // 2]
     np.testing.assert_allclose(wy, wy[::-1], rtol=1e-12)
+
+
+def test_stretched_channel_fixed_budget_solvers():
+    """Solver-robustness pin for the wall-clustered grid (the
+    BASELINE #5 channel512 config, reproduced small): the anisotropic
+    Poisson makes the MG V-cycle a DIVERGENT Richardson iteration and
+    breaks the damped-Jacobi momentum sweeps, so production_fast
+    (richardson outer) blows up within a few steps — while the GCR
+    outer (monotone residual under the same rough ABF preconditioner)
+    with BiCGStab momentum + CG Schur stays stable at the same fixed
+    budgets. bench.py channel512_bench relies on exactly this combo;
+    this test fails if either behavior changes (a richardson fix OR a
+    gcr regression), so the bench config gets revisited."""
+    import numpy as np
+    import pytest
+
+    from fluca_tpu.models.channel import setup_channel_3d
+    from fluca_tpu.ns.cnlinear import CNLinearConfig
+
+    def run(cfg, nsteps=10):
+        import jax.numpy as jnp
+
+        # 64x32x32 is the smallest shape where the richardson
+        # divergence reproduces (at 32x16x16 the anisotropy is too
+        # mild and it survives 30 steps)
+        ns = setup_channel_3d(N=(64, 32, 32), dt=1e-3,
+                              max_steps=10**9, stretch_y=2.0,
+                              dtype=jnp.float32)
+        ns.impl.cfg = cfg
+        ns.step()
+        ns.advance(nsteps)
+        return float(ns.last_diag["ksp_rnorm"])
+
+    cfg = CNLinearConfig.production_fast(2, 8, 6)
+    cfg.outer_type = "gcr"
+    cfg.mom_solver = "bicgstab"
+    cfg.schur_solver = "cg"
+    rnorm = run(cfg)
+    assert np.isfinite(rnorm), rnorm
+
+    with pytest.raises(RuntimeError, match="diverged"):
+        run(CNLinearConfig.production_fast(), nsteps=10)
