@@ -165,6 +165,9 @@ def main():
             extra["channel3d_128_steps_per_sec"] = round(
                 channel_throughput(N=128, steps=30), 2
             )
+            extra["channel3d_128_fast_steps_per_sec"] = round(
+                channel_throughput(N=128, steps=30, fast=True), 2
+            )
         except Exception as e:  # pragma: no cover
             extra["error"] = f"{type(e).__name__}: {e}"
         # BASELINE config #5 at stated size (own try: a VMEM/HBM
@@ -248,9 +251,13 @@ def cavity3d_throughput(N=(64, 64, 32), steps=30):
     return _advance_throughput(ns, steps)
 
 
-def channel_throughput(N=128, steps=30):
+def channel_throughput(N=128, steps=30, fast=False):
     """Turbulent-channel config 128^3 timesteps/sec (the 3-D
-    full-step bandwidth story; STATUS.md perf item)."""
+    full-step bandwidth story; STATUS.md perf item). fast=True uses
+    the production_fast preset (Richardson + Jacobi + V-cycle, same
+    fixed budgets, accuracy pinned by tests/test_fastpath.py): the
+    128^3 step is dominated by the momentum bicgstab8 (9.7 ms of each
+    ~21 ms outer, examples/profile128.py), which Jacobi halves."""
     import jax.numpy as jnp
 
     from fluca_tpu.models.channel import setup_channel_3d
@@ -258,7 +265,8 @@ def channel_throughput(N=128, steps=30):
 
     ns = setup_channel_3d(N=(N, N, N), dt=2e-3, max_steps=10**9,
                           dtype=jnp.float32)
-    ns.impl.cfg = CNLinearConfig.production()
+    ns.impl.cfg = (CNLinearConfig.production_fast() if fast
+                   else CNLinearConfig.production())
     return _advance_throughput(ns, steps)
 
 

@@ -11,6 +11,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# chain kernels are opt-in since the 128^3 slope measurement showed
+# the XLA path faster (see ns/operators.py); this script validates
+# them, so force-enable
+os.environ["FLUCA_TPU_CHAIN3D"] = "1"
 
 import jax
 import jax.numpy as jnp

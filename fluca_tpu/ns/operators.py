@@ -222,18 +222,27 @@ class NSOperators:
                     )
             except Exception:  # pragma: no cover
                 self._mom_kernel3d = None
-            try:
-                from fluca_tpu.ops.pallas_chain3d import Chain3D
-                from fluca_tpu.ops.pallas_stencil import (
-                    pallas_available,
-                )
-
-                if pallas_available():
-                    self._chain3d = Chain3D(
-                        mesh, axbcs, self.rho, self.dt, dtype
+            # opt-in (FLUCA_TPU_CHAIN3D=1): stage-level slope timing on
+            # v5e (2026-08-20, examples/profile128.py) shows the fused
+            # chain makes the coupled apply SLOWER than the XLA
+            # shifted-slice path at 128^3 (0.618 vs 0.513 ms) and cost
+            # ~2 steps/s on the cavity3d bench — XLA already fuses the
+            # interp/div/grad sweeps well at these op intensities. The
+            # kernels stay correct (tests/test_chain3d.py) for shapes
+            # where a future measurement flips the verdict.
+            if os.environ.get("FLUCA_TPU_CHAIN3D") == "1":
+                try:
+                    from fluca_tpu.ops.pallas_chain3d import Chain3D
+                    from fluca_tpu.ops.pallas_stencil import (
+                        pallas_available,
                     )
-            except Exception:  # pragma: no cover
-                self._chain3d = None
+
+                    if pallas_available():
+                        self._chain3d = Chain3D(
+                            mesh, axbcs, self.rho, self.dt, dtype
+                        )
+                except Exception:  # pragma: no cover
+                    self._chain3d = None
 
     # ------------------------------------------------------------------
     # slice helpers
