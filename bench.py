@@ -38,7 +38,11 @@ PERF_BANDS = {
 
 def check_bands(values) -> int:
     """Compare measured values against PERF_BANDS; print violations
-    and return the number of breaches (0 = pass)."""
+    and return the number of breaches (0 = pass). A banded metric
+    that was not measured at all (None / absent) is itself a breach:
+    a crashed bench variant must fail the gate, not bypass it
+    (VERDICT r3 weak #3 — the r3 run skipped every band because one
+    optional variant diverged)."""
     import jax
 
     if jax.devices()[0].platform != "tpu":
@@ -47,6 +51,12 @@ def check_bands(values) -> int:
     for key, floor in PERF_BANDS.items():
         got = values.get(key)
         if got is None:
+            print(
+                f"PERF GATE: {key} was not measured (floor {floor}) "
+                f"— counting as a breach",
+                file=sys.stderr,
+            )
+            bad += 1
             continue
         if got < floor:
             print(
@@ -198,7 +208,10 @@ def main():
             }
         )
     )
-    if "--quick" not in sys.argv and "error" not in extra:
+    if "--quick" not in sys.argv:
+        # the gate runs UNCONDITIONALLY on whatever was measured; a
+        # metric missing because its variant crashed counts as a
+        # breach inside check_bands (VERDICT r3 weak #3)
         if check_bands({"roofline_frac": frac, **extra}):
             sys.exit(1)
 
@@ -319,12 +332,18 @@ def channel512_bench(steps=20):
     # cross-section tiling.
     lvl0 = ns.impl.mg.levels[0]
     assert lvl0.pallas_apply is not None, "poisson kernel inactive"
+    chain_cause = (
+        "pallas" if ops._chain3d is not None
+        else "disabled (FLUCA_TPU_CHAIN3D unset; XLA fuses the "
+             "chain as well — see ns/operators.py)"
+        if os.environ.get("FLUCA_TPU_CHAIN3D") != "1"
+        else "xla (vmem clamp at 256x256 cross-section)"
+    )
     kstat = {
         "poisson": "pallas",
         "momentum": "pallas" if ops._mom_kernel3d is not None
         else "xla (vmem clamp at 256x256 cross-section)",
-        "chain": "pallas" if ops._chain3d is not None
-        else "xla (vmem clamp at 256x256 cross-section)",
+        "chain": chain_cause,
     }
 
     sps = _advance_throughput(ns, steps)

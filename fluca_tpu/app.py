@@ -114,6 +114,12 @@ def main(argv=None) -> int:
             opts.sub("ns_").get_str("view_solution"), mesh
         ) as w:
             w.write_solution(ns)
+    # -log_view: PETSc-style event summary at exit (reference wires
+    # this through PetscLogView, fluca/src/ns/interface/nspkg.c:30-34)
+    if opts.get_bool("log_view", False):
+        from fluca_tpu.utils.profiling import global_log
+
+        print(global_log.view())
     return 0
 
 

@@ -152,6 +152,12 @@ def sphere_markers(
     h = float(mesh.widths(0)[0])
     if n_markers is None:
         n_markers = max(int(np.ceil(4 * np.pi * radius**2 / h**2)), 16)
+    if not 0.0 <= retract * h < radius:
+        raise ValueError(
+            f"retract={retract} with h={h} yields marker radius "
+            f"{radius - retract * h} (nominal {radius}); require "
+            f"0 <= retract*h < radius"
+        )
     r_mark = radius - retract * h
     i = np.arange(n_markers) + 0.5
     phi = np.arccos(1.0 - 2.0 * i / n_markers)
@@ -189,6 +195,12 @@ def circle_markers(
     if n_markers is None:
         n_markers = max(int(np.ceil(2 * np.pi * radius / h)), 8)
     th = np.linspace(0.0, 2 * np.pi, n_markers, endpoint=False)
+    if not 0.0 <= retract * h < radius:
+        raise ValueError(
+            f"retract={retract} with h={h} yields marker radius "
+            f"{radius - retract * h} (nominal {radius}); require "
+            f"0 <= retract*h < radius"
+        )
     r_mark = radius - retract * h
     X = np.stack(
         [center[0] + r_mark * np.cos(th), center[1] + r_mark * np.sin(th)],

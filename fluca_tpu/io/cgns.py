@@ -166,6 +166,36 @@ class CGNSWriter:
         self._times = []
         self._n_in_batch = 0
 
+    def _write_cellinfo(self, grid) -> None:
+        """Per-cell owner-rank map, written once per file with the
+        mesh (reference: MeshView_Cart_CGNS "CellInfo" solution node
+        with an Integer "Rank" field, cartcgns.c:113-114). Rank is
+        the linear index into the device grid (the GSPMD analogue of
+        the MPI rank); 0 everywhere for unsharded runs."""
+        if "CellInfo" in self._zone:
+            return
+        mesh = self.mesh
+        shape = mesh.cell_shape
+        if grid is None:
+            rank = np.zeros(shape, np.int32)
+        else:
+            ext = [grid.mesh.shape[n] for n in grid.axis_names]
+            dev_lin = np.arange(
+                int(np.prod(ext)), dtype=np.int32
+            ).reshape(ext)
+            coords = []
+            for a, n in enumerate(shape):
+                e = ext[a] if a < grid.dim else 1
+                blk = -(-n // e)  # ceil: GSPMD pads the last shard
+                coords.append(
+                    np.minimum(np.arange(n) // blk, e - 1)
+                )
+            rank = dev_lin[np.ix_(*coords[: grid.dim])]
+        sol = _node(self._zone, "CellInfo", "FlowSolution_t")
+        _string_node(sol, "GridLocation", "GridLocation_t",
+                     "CellCenter")
+        _node(sol, "Rank", "DataArray_t", rank.astype(np.int32))
+
     def _finalize_time_series(self):
         """BaseIterativeData + ZoneIterativeData (flucacgns.c:29-60)."""
         if self._file is None or not self._steps:
@@ -236,6 +266,9 @@ class CGNSWriter:
         step, t = ns.step_index, ns.t
         state = ns.state
         dim = self.mesh.dim
+        self._write_cellinfo(
+            getattr(getattr(ns, "impl", None), "grid", None)
+        )
         sol = _node(self._zone, f"FlowSolution{step}", "FlowSolution_t")
         _string_node(sol, "GridLocation", "GridLocation_t", "CellCenter")
         comp = ["X", "Y", "Z"]
@@ -316,6 +349,9 @@ class CGNSWriter:
                 self._file = h5py.File(self._current_name(), "r+")
                 self._zone = self._file["Base"]["Zone"]
                 self._base = self._file["Base"]
+            self._write_cellinfo(
+                getattr(getattr(ns, "impl", None), "grid", None)
+            )
             sol = _node(self._zone, f"FlowSolution{step}",
                         "FlowSolution_t")
             _string_node(sol, "GridLocation", "GridLocation_t",

@@ -227,6 +227,20 @@ def test_cgns_sids_hdf5_schema():
             assert lbl == "DataArray_t" and t == "R8"
             assert fn[" data"].shape == (8, 8)
 
+        # per-rank decomposition map (reference cartcgns.c:113-114:
+        # "CellInfo" CellCenter solution with an Integer Rank field)
+        ci = zone["CellInfo"]
+        n, lbl, _ = node_attrs(ci)
+        assert lbl == "FlowSolution_t"
+        assert bytes(
+            np.asarray(ci["GridLocation"][" data"]).astype(np.uint8)
+        ).decode() == "CellCenter"
+        rk = ci["Rank"]
+        n, lbl, t = node_attrs(rk)
+        assert lbl == "DataArray_t" and t == "I4"
+        assert rk[" data"].shape == (8, 8)
+        assert np.all(np.asarray(rk[" data"]) == 0)  # unsharded run
+
         bid = base["BaseIterativeData"]
         n, lbl, t = node_attrs(bid)
         assert lbl == "BaseIterativeData_t" and t == "I4"
