@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from fluca_tpu.mesh.cart import CartMesh
 from fluca_tpu.ns.operators import NSOperators
 from fluca_tpu.solvers.krylov import (
-    bicgstab, cg, fgmres, gcr, tree_add, tree_norm, tree_sub,
+    bicgstab, bicgstab_fixed, cg, cg_fixed, fgmres, gcr, tree_add,
+    tree_norm, tree_sub,
 )
 from fluca_tpu.solvers.mg import PoissonMG
 from fluca_tpu.utils import config
@@ -111,12 +112,21 @@ class CNLinearConfig:
         accuracy (verified to the digit at 8^2/16^2) with completely
         deterministic per-step work — no tolerance checks, maximal
         XLA-friendliness. Increase budgets for impulsive starts or
-        very stiff cases."""
+        very stiff cases.
+
+        Solver forms are the fully-unrolled fixed-trip ones (GCR
+        outer = FGMRES's Krylov space without the ravel/basis
+        machinery; bicgstab_fixed / cg_fixed inner): at rtol 1e-30
+        the while_loop forms never exit early, so the iterates are
+        identical — but the unrolled forms drop the per-iteration
+        scalar cond, worth ~2x on the 128^3 production step
+        (PROFILE128.json, v5e)."""
         return cls(
             rtol=1e-30, maxiter=outer, restart=outer,
             converged_skip=True,
             mom_rtol=1e-30, mom_maxiter=mom,
             schur_rtol=1e-30, schur_maxiter=schur,
+            outer_type="gcr",
         )
 
     @classmethod
@@ -308,6 +318,15 @@ class CNLinearSolver:
         def M(r):
             return tuple(inv_diag[c] * r[c] for c in range(ops.dim))
 
+        if self.cfg.converged_skip and self.cfg.mom_rtol <= 1e-20:
+            # fixed-budget mode: the while_loop could never exit
+            # early at rtol 1e-30 — the unrolled form is the same
+            # iteration without the per-step scalar cond sync
+            # (PROFILE128.json: ~29 ms of while-loop overhead in the
+            # 128^3 production step)
+            return bicgstab_fixed(
+                A, rhs_v, self.cfg.mom_maxiter, M=M
+            ).x
         res = bicgstab(
             A, rhs_v, rtol=self.cfg.mom_rtol,
             maxiter=self.cfg.mom_maxiter, M=M,
@@ -354,6 +373,17 @@ class CNLinearSolver:
                 p = p + self.mg.precondition(r)
             return proj(p) if proj else p
         if ainv1 is None:
+            if (
+                self.cfg.converged_skip
+                and self.cfg.schur_rtol <= 1e-20
+            ):
+                return cg_fixed(
+                    self.mg.apply_op,
+                    self.mg.scale_rhs(rhs_p),
+                    self.cfg.schur_maxiter,
+                    M=self.mg.precondition,
+                    project=proj,
+                ).x
             res = cg(
                 self.mg.apply_op,
                 self.mg.scale_rhs(rhs_p),

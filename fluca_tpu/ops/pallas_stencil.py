@@ -720,13 +720,24 @@ def build_momentum_bands_3d(mesh, axbcs, rho, mu, dt):
 
 
 def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
-                            *, tile_slabs=8, interpret=False):
+                            *, tile_slabs=8, interpret=False,
+                            force_split=False):
     """Returns (prep, apply):
       factors = prep(U0, v0f)   -- once per step (inside the jitted
                                    step program)
       Av      = apply(v, factors)
 
-    Raises ValueError when the grid does not fit the kernel's
+    Two fusion modes, chosen by the VMEM model:
+      - full: one kernel writes all 3 components (18 big streams,
+        ~36 live planes/slab) — the fastest form, needs a small
+        cross-section (up to ~128x256 f32).
+      - split: one kernel PER component (10 big streams each, ~20
+        live planes) — 30/21 more HBM traffic, but fits the
+        256x256 cross-section of the BASELINE #5 channel where the
+        full fusion VMEM-clamps (VERDICT r3 item 2: no
+        size-conditional XLA fallback on the hot path).
+
+    Raises ValueError when the grid does not fit either mode's
     alignment/VMEM constraints (callers fall back to the XLA path).
     """
     N0, N1, N2 = mesh.N
@@ -734,15 +745,26 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
     if N0 < 8 or N1 % 8 or N2 % 128:
         raise ValueError("momentum3d kernel: unaligned grid")
 
-    # VMEM: 18 blocked big refs (double-buffered) + fixed edge/patch
-    # planes (~30) + roll temporaries (~12)
     plane = N1 * N2 * np.dtype(np.float32).itemsize
-    budget = (14 << 20) - 42 * plane
-    tm_max = budget // (36 * plane)
-    if tm_max < 1:
-        raise ValueError(
-            f"momentum3d kernel: cross-section {N1}x{N2} exceeds VMEM"
-        )
+
+    def tm_for(nbig, nfixed):
+        # nbig blocked big refs (double-buffered) + nfixed edge/patch
+        # planes + roll temporaries
+        budget = (14 << 20) - nfixed * plane
+        return budget // (2 * nbig * plane)
+
+    # full fusion: 18 blocked big refs + ~42 fixed planes
+    tm_max = tm_for(18, 42)
+    split = tm_max < 1 or force_split
+    if split:
+        # split mode: 10 big refs (3 v + 3 FU + 3 FV + 1 out), edges
+        # 3+3+2 double-buffered + p2/m2 + rolls ~ 26 planes
+        tm_max = tm_for(10, 26)
+        if tm_max < 1:
+            raise ValueError(
+                f"momentum3d kernel: cross-section {N1}x{N2} "
+                f"exceeds VMEM even per-component"
+            )
     TM = int(min(tile_slabs, tm_max, N0))
     while N0 % TM:
         TM -= 1
@@ -777,164 +799,207 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
         _nz(B2, r, N2 - 1) for r in conv_rows
     )
 
-    def kernel(b0r, b1r, b2r, *refs):
-        V = refs[0:3]                 # blocked (TM, N1, N2)
-        FU = refs[3:6]                # lo factors of U0 per axis
-        FV = refs[6:15]               # lo factors v0f[d][c] at 3d+c
-        VUE = refs[15:18]             # v up edges (1, N1, N2)
-        VDE = refs[18:21]             # v down edges
-        P2 = refs[21:24]              # v[2] planes (1, N1, N2)
-        M2 = refs[24:27]              # v[N0-3] planes
-        FE0 = refs[27:31]             # axis-0 hi edges [U0, v0f0c]
-        PA1 = refs[31:35]             # axis-1 hi patches (TM, 1, N2)
-        PA2 = refs[35:39]             # axis-2 hi patches (TM, N1, 1)
-        OUT = refs[39:42]
+    def make_kernel(comps):
+        ncomp = len(comps)
+        nfv = 9 if ncomp == 3 else ncomp * 3
 
-        base = pl.program_id(0) * TM
-        rows = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 1)
-        lastrow = rows == N1 - 1
-        lastcol = cols == N2 - 1
+        def kernel(b0r, b1r, b2r, *refs):
+            i = 0
+            V = refs[i:i + 3]; i += 3          # blocked (TM, N1, N2)
+            FU = refs[i:i + 3]; i += 3         # lo factors of U0
+            FV = refs[i:i + nfv]; i += nfv     # lo factors v0f[d][c]
+            VUE = refs[i:i + 3]; i += 3        # v up edges (1,N1,N2)
+            VDE = refs[i:i + 3]; i += 3        # v down edges
+            P2 = refs[i:i + ncomp]; i += ncomp   # v[2] planes
+            M2 = refs[i:i + ncomp]; i += ncomp   # v[N0-3] planes
+            FE0 = refs[i:i + 1 + ncomp]; i += 1 + ncomp  # ax-0 hi edges
+            PA1 = refs[i:i + 1 + ncomp]; i += 1 + ncomp  # ax-1 patches
+            PA2 = refs[i:i + 1 + ncomp]; i += 1 + ncomp  # ax-2 patches
+            OUT = refs[i:i + ncomp]
 
-        def hi1(lo, patch):
-            # axis-1 high factor: shift -1 on sublanes; last-row patch
-            # only when its coefficients can be nonzero there
-            r = pltpu.roll(lo, N1 - 1, 0)
-            return jnp.where(lastrow, patch, r) if need_patch1 else r
+            def fv(d, c):
+                # v0f[d][c] lo-factor ref: axis-major (3d+c) in the
+                # full layout, comp-major (3*ci+d) in split layouts
+                if ncomp == 3:
+                    return FV[3 * d + c]
+                return FV[comps.index(c) * 3 + d]
 
-        def hi2(lo, patch):
-            r = pltpu.roll(lo, N2 - 1, 1)
-            return jnp.where(lastcol, patch, r) if need_patch2 else r
+            base = pl.program_id(0) * TM
+            rows = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 1)
+            lastrow = rows == N1 - 1
+            lastcol = cols == N2 - 1
 
-        for s in range(TM):
-            P = [V[e][s] for e in range(3)]
-            UP = [VUE[e][0] if s == 0 else V[e][s - 1]
-                  for e in range(3)]
-            DN = [VDE[e][0] if s == TM - 1 else V[e][s + 1]
-                  for e in range(3)]
-            # in-plane +-1 shifts per component (axis1 = sublanes,
-            # axis2 = lanes); wrapped reads are annihilated by zero
-            # boundary band entries (non-periodic) or correct (periodic)
-            A1m = [pltpu.roll(p, 1, 0) for p in P]
-            A1p = [pltpu.roll(p, N1 - 1, 0) for p in P]
-            A2m = [pltpu.roll(p, 1, 1) for p in P]
-            A2p = [pltpu.roll(p, N2 - 1, 1) for p in P]
+            def hi1(lo, patch):
+                # axis-1 high factor: shift -1 on sublanes; last-row
+                # patch only when its coeffs can be nonzero there
+                r = pltpu.roll(lo, N1 - 1, 0)
+                return jnp.where(lastrow, patch, r) \
+                    if need_patch1 else r
 
-            # face factors at this slab: lo directly, hi derived
-            FlU0 = FU[0][s]
-            FrU0 = FE0[0][0] if s == TM - 1 else FU[0][s + 1]
-            FlU1, FrU1 = FU[1][s], hi1(FU[1][s], PA1[0][s])
-            FlU2, FrU2 = FU[2][s], hi2(FU[2][s], PA2[0][s])
-            Flv0 = [FV[0 + c][s] for c in range(3)]
-            Frv0 = [FE0[1 + c][0] if s == TM - 1 else FV[0 + c][s + 1]
-                    for c in range(3)]
-            Flv1 = [FV[3 + c][s] for c in range(3)]
-            Frv1 = [hi1(FV[3 + c][s], PA1[1 + c][s]) for c in range(3)]
-            Flv2 = [FV[6 + c][s] for c in range(3)]
-            Frv2 = [hi2(FV[6 + c][s], PA2[1 + c][s]) for c in range(3)]
+            def hi2(lo, patch):
+                r = pltpu.roll(lo, N2 - 1, 1)
+                return jnp.where(lastcol, patch, r) \
+                    if need_patch2 else r
 
-            # ---- axis 0: bands are SMEM scalars at base+s ----------
-            def s0(r):
-                return b0r[r, base + s]
+            for s in range(TM):
+                P = [V[e][s] for e in range(3)]
+                UP = [VUE[e][0] if s == 0 else V[e][s - 1]
+                      for e in range(3)]
+                DN = [VDE[e][0] if s == TM - 1 else V[e][s + 1]
+                      for e in range(3)]
+                # in-plane +-1 shifts (axis1 = sublanes, axis2 =
+                # lanes), built LAZILY so a split kernel only
+                # materializes the rolls its component needs;
+                # wrapped reads are annihilated by zero boundary
+                # band entries (non-periodic) or correct (periodic)
+                roll_cache = {}
 
-            def sum0(weights_row, e):
-                # weighted (off -1, 0, +1) combination along axis 0
-                return (weights_row[0] * UP[e]
-                        + weights_row[1] * P[e]
-                        + weights_row[2] * DN[e])
+                def rolled(kind, e):
+                    key = (kind, e)
+                    if key not in roll_cache:
+                        sh = {"1m": (1, 0), "1p": (N1 - 1, 0),
+                              "2m": (1, 1), "2p": (N2 - 1, 1)}[kind]
+                        roll_cache[key] = pltpu.roll(P[e], *sh)
+                    return roll_cache[key]
 
-            # norm-variant convection sums on v_0 (shared by all c)
-            nl0 = sum0([s0(_mom3d_CV(1, 0, o)) for o in (-1, 0, 1)], 0)
-            nr0 = sum0([s0(_mom3d_CV(1, 1, o)) for o in (-1, 0, 1)], 0)
-            tl0w = [s0(_mom3d_CV(0, 0, o)) for o in (-1, 0, 1)]
-            tr0w = [s0(_mom3d_CV(0, 1, o)) for o in (-1, 0, 1)]
+                # face factors at this slab: lo directly, hi derived
+                FlU0 = FU[0][s]
+                FrU0 = FE0[0][0] if s == TM - 1 else FU[0][s + 1]
+                FlU1 = FU[1][s]
+                FrU1 = hi1(FU[1][s], PA1[0][s])
+                FlU2 = FU[2][s]
+                FrU2 = hi2(FU[2][s], PA2[0][s])
+                Flv0 = {c: fv(0, c)[s] for c in comps}
+                Frv0 = {
+                    c: (FE0[1 + comps.index(c)][0] if s == TM - 1
+                        else fv(0, c)[s + 1])
+                    for c in comps
+                }
+                Flv1 = {c: fv(1, c)[s] for c in comps}
+                Frv1 = {
+                    c: hi1(fv(1, c)[s], PA1[1 + comps.index(c)][s])
+                    for c in comps
+                }
+                Flv2 = {c: fv(2, c)[s] for c in comps}
+                Frv2 = {
+                    c: hi2(fv(2, c)[s], PA2[1 + comps.index(c)][s])
+                    for c in comps
+                }
 
-            # ---- axis 1: bands broadcast over sublanes -------------
-            def w1(r):
-                return b1r[r, :][:, None]
+                # ---- axis 0: bands are SMEM scalars at base+s ------
+                def s0(r):
+                    return b0r[r, base + s]
 
-            def sum1(rowfn, var, lr, e):
-                return (rowfn(_mom3d_CV(var, lr, -1)) * A1m[e]
-                        + rowfn(_mom3d_CV(var, lr, 0)) * P[e]
-                        + rowfn(_mom3d_CV(var, lr, 1)) * A1p[e])
+                def sum0(weights_row, e):
+                    # weighted (off -1, 0, +1) combo along axis 0
+                    return (weights_row[0] * UP[e]
+                            + weights_row[1] * P[e]
+                            + weights_row[2] * DN[e])
 
-            nl1 = sum1(w1, 1, 0, 1)
-            nr1 = sum1(w1, 1, 1, 1)
+                # norm-variant convection sums on v_0 (shared by all c)
+                nl0 = sum0(
+                    [s0(_mom3d_CV(1, 0, o)) for o in (-1, 0, 1)], 0
+                )
+                nr0 = sum0(
+                    [s0(_mom3d_CV(1, 1, o)) for o in (-1, 0, 1)], 0
+                )
+                tl0w = [s0(_mom3d_CV(0, 0, o)) for o in (-1, 0, 1)]
+                tr0w = [s0(_mom3d_CV(0, 1, o)) for o in (-1, 0, 1)]
 
-            # ---- axis 2: bands broadcast over lanes ----------------
-            def w2(r):
-                return b2r[r, :][None, :]
+                # ---- axis 1: bands broadcast over sublanes ---------
+                def w1(r):
+                    return b1r[r, :][:, None]
 
-            def sum2(rowfn, var, lr, e):
-                return (rowfn(_mom3d_CV(var, lr, -1)) * A2m[e]
-                        + rowfn(_mom3d_CV(var, lr, 0)) * P[e]
-                        + rowfn(_mom3d_CV(var, lr, 1)) * A2p[e])
+                def sum1(rowfn, var, lr, e):
+                    return (rowfn(_mom3d_CV(var, lr, -1))
+                            * rolled("1m", e)
+                            + rowfn(_mom3d_CV(var, lr, 0)) * P[e]
+                            + rowfn(_mom3d_CV(var, lr, 1))
+                            * rolled("1p", e))
 
-            nl2 = sum2(w2, 1, 0, 2)
-            nr2 = sum2(w2, 1, 1, 2)
+                nl1 = sum1(w1, 1, 0, 1)
+                nr1 = sum1(w1, 1, 1, 1)
 
-            for c in range(3):
-                acc = P[c]
+                # ---- axis 2: bands broadcast over lanes ------------
+                def w2(r):
+                    return b2r[r, :][None, :]
 
-                # Laplacian, axis 0 (+-2 one-sided rows via the
-                # dedicated planes; coefficients are zero away from
-                # the global boundary rows)
-                acc = (acc + s0(_mom3d_L(c, -1)) * UP[c]
-                       + s0(_mom3d_L(c, 0)) * P[c]
-                       + s0(_mom3d_L(c, 1)) * DN[c])
-                if s == 0 and p2_used[c]:
-                    acc = acc + s0(_mom3d_L(c, 2)) * P2[c][0]
-                if s == TM - 1 and m2_used[c]:
-                    acc = acc + s0(_mom3d_L(c, -2)) * M2[c][0]
+                def sum2(rowfn, var, lr, e):
+                    return (rowfn(_mom3d_CV(var, lr, -1))
+                            * rolled("2m", e)
+                            + rowfn(_mom3d_CV(var, lr, 0)) * P[e]
+                            + rowfn(_mom3d_CV(var, lr, 1))
+                            * rolled("2p", e))
 
-                # Laplacian, axes 1/2 (-1..1 always; the one-sided
-                # +-2 rolls only when the band rows are nonzero)
-                acc = (acc
-                       + w1(_mom3d_L(c, -1)) * A1m[c]
-                       + w1(_mom3d_L(c, 0)) * P[c]
-                       + w1(_mom3d_L(c, 1)) * A1p[c])
-                if l2m_used[c]:
-                    acc = acc + w1(_mom3d_L(c, -2)) * pltpu.roll(
-                        P[c], 2, 0)
-                if l2p_used[c]:
-                    acc = acc + w1(_mom3d_L(c, 2)) * pltpu.roll(
-                        P[c], N1 - 2, 0)
-                acc = (acc
-                       + w2(_mom3d_L(c, -1)) * A2m[c]
-                       + w2(_mom3d_L(c, 0)) * P[c]
-                       + w2(_mom3d_L(c, 1)) * A2p[c])
-                if k2m_used[c]:
-                    acc = acc + w2(_mom3d_L(c, -2)) * pltpu.roll(
-                        P[c], 2, 1)
-                if k2p_used[c]:
-                    acc = acc + w2(_mom3d_L(c, 2)) * pltpu.roll(
-                        P[c], N2 - 2, 1)
+                nl2 = sum2(w2, 1, 0, 2)
+                nr2 = sum2(w2, 1, 1, 2)
 
-                # convection, axis 0
-                al = Flv0[c] + (FlU0 if c == 0 else 0.0)
-                ar = Frv0[c] + (FrU0 if c == 0 else 0.0)
-                acc = acc + al * nl0 + ar * nr0
-                if c != 0:
-                    acc = (acc + FlU0 * sum0(tl0w, c)
-                           + FrU0 * sum0(tr0w, c))
+                for c in comps:
+                    ci = comps.index(c)
+                    acc = P[c]
 
-                # convection, axis 1
-                al = Flv1[c] + (FlU1 if c == 1 else 0.0)
-                ar = Frv1[c] + (FrU1 if c == 1 else 0.0)
-                acc = acc + al * nl1 + ar * nr1
-                if c != 1:
-                    acc = (acc + FlU1 * sum1(w1, 0, 0, c)
-                           + FrU1 * sum1(w1, 0, 1, c))
+                    # Laplacian, axis 0 (+-2 one-sided rows via the
+                    # dedicated planes; coefficients are zero away
+                    # from the global boundary rows)
+                    acc = (acc + s0(_mom3d_L(c, -1)) * UP[c]
+                           + s0(_mom3d_L(c, 0)) * P[c]
+                           + s0(_mom3d_L(c, 1)) * DN[c])
+                    if s == 0 and p2_used[c]:
+                        acc = acc + s0(_mom3d_L(c, 2)) * P2[ci][0]
+                    if s == TM - 1 and m2_used[c]:
+                        acc = acc + s0(_mom3d_L(c, -2)) * M2[ci][0]
 
-                # convection, axis 2
-                al = Flv2[c] + (FlU2 if c == 2 else 0.0)
-                ar = Frv2[c] + (FrU2 if c == 2 else 0.0)
-                acc = acc + al * nl2 + ar * nr2
-                if c != 2:
-                    acc = (acc + FlU2 * sum2(w2, 0, 0, c)
-                           + FrU2 * sum2(w2, 0, 1, c))
+                    # Laplacian, axes 1/2 (-1..1 always; one-sided
+                    # +-2 rolls only when the band rows are nonzero)
+                    acc = (acc
+                           + w1(_mom3d_L(c, -1)) * rolled("1m", c)
+                           + w1(_mom3d_L(c, 0)) * P[c]
+                           + w1(_mom3d_L(c, 1)) * rolled("1p", c))
+                    if l2m_used[c]:
+                        acc = acc + w1(_mom3d_L(c, -2)) * pltpu.roll(
+                            P[c], 2, 0)
+                    if l2p_used[c]:
+                        acc = acc + w1(_mom3d_L(c, 2)) * pltpu.roll(
+                            P[c], N1 - 2, 0)
+                    acc = (acc
+                           + w2(_mom3d_L(c, -1)) * rolled("2m", c)
+                           + w2(_mom3d_L(c, 0)) * P[c]
+                           + w2(_mom3d_L(c, 1)) * rolled("2p", c))
+                    if k2m_used[c]:
+                        acc = acc + w2(_mom3d_L(c, -2)) * pltpu.roll(
+                            P[c], 2, 1)
+                    if k2p_used[c]:
+                        acc = acc + w2(_mom3d_L(c, 2)) * pltpu.roll(
+                            P[c], N2 - 2, 1)
 
-                OUT[c][s] = acc
+                    # convection, axis 0
+                    al = Flv0[c] + (FlU0 if c == 0 else 0.0)
+                    ar = Frv0[c] + (FrU0 if c == 0 else 0.0)
+                    acc = acc + al * nl0 + ar * nr0
+                    if c != 0:
+                        acc = (acc + FlU0 * sum0(tl0w, c)
+                               + FrU0 * sum0(tr0w, c))
+
+                    # convection, axis 1
+                    al = Flv1[c] + (FlU1 if c == 1 else 0.0)
+                    ar = Frv1[c] + (FrU1 if c == 1 else 0.0)
+                    acc = acc + al * nl1 + ar * nr1
+                    if c != 1:
+                        acc = (acc + FlU1 * sum1(w1, 0, 0, c)
+                               + FrU1 * sum1(w1, 0, 1, c))
+
+                    # convection, axis 2
+                    al = Flv2[c] + (FlU2 if c == 2 else 0.0)
+                    ar = Frv2[c] + (FrU2 if c == 2 else 0.0)
+                    acc = acc + al * nl2 + ar * nr2
+                    if c != 2:
+                        acc = (acc + FlU2 * sum2(w2, 0, 0, c)
+                               + FrU2 * sum2(w2, 0, 1, c))
+
+                    OUT[ci][s] = acc
+
+        return kernel
 
     big = pl.BlockSpec((TM, N1, N2), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -947,29 +1012,38 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
     pa2 = pl.BlockSpec((TM, N1, 1), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
 
-    call = pl.pallas_call(
-        kernel,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((N0, N1, N2), dtype) for _ in range(3)
-        ),
-        grid=(ntiles,),
-        in_specs=(
-            [pl.BlockSpec(memory_space=pltpu.SMEM)]       # b0
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2  # b1, b2
-            + [big] * 15                                   # v + factors
-            + [edge] * 6                                   # v ue/de
-            + [fixplane] * 6                               # p2/m2
-            + [edge] * 4                                   # FE0
-            + [pa1] * 4 + [pa2] * 4
-        ),
-        out_specs=(big, big, big),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=150 * 3 * N0 * N1 * N2,
-            bytes_accessed=18 * N0 * N1 * N2
-            * np.dtype(np.float32).itemsize,
-            transcendentals=0,
-        ),
+    def make_call(comps):
+        ncomp = len(comps)
+        nfv = 9 if ncomp == 3 else ncomp * 3
+        return pl.pallas_call(
+            make_kernel(comps),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((N0, N1, N2), dtype)
+                for _ in range(ncomp)
+            ),
+            grid=(ntiles,),
+            in_specs=(
+                [pl.BlockSpec(memory_space=pltpu.SMEM)]       # b0
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2  # b1 b2
+                + [big] * (6 + nfv)                # v + FU + FV
+                + [edge] * 6                       # v ue/de
+                + [fixplane] * (2 * ncomp)         # p2/m2
+                + [edge] * (1 + ncomp)             # FE0
+                + [pa1] * (1 + ncomp) + [pa2] * (1 + ncomp)
+            ),
+            out_specs=tuple(big for _ in range(ncomp)),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=150 * ncomp * N0 * N1 * N2,
+                bytes_accessed=(7 + ncomp * 4) * N0 * N1 * N2
+                * np.dtype(np.float32).itemsize,
+                transcendentals=0,
+            ),
+        )
+
+    calls = (
+        [make_call((0, 1, 2))] if not split
+        else [make_call((c,)) for c in range(3)]
     )
 
     def lo_and_hilast(F, a):
@@ -1040,12 +1114,25 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
         ue, de = zip(*(edges(x) for x in v))
         p2 = tuple(x[2:3] for x in v)
         m2 = tuple(x[N0 - 3:N0 - 2] for x in v)
-        outs = call(
-            b0, b1, b2,
-            *v, *factors["FU"], *factors["FV"],
-            *ue, *de, *p2, *m2,
-            *factors["FE0"], *factors["PA1"], *factors["PA2"],
-        )
-        return outs
+        if not split:
+            return calls[0](
+                b0, b1, b2,
+                *v, *factors["FU"], *factors["FV"],
+                *ue, *de, *p2, *m2,
+                *factors["FE0"], *factors["PA1"], *factors["PA2"],
+            )
+        outs = []
+        for c in range(3):
+            fv_c = tuple(factors["FV"][3 * d + c] for d in range(3))
+            (out_c,) = calls[c](
+                b0, b1, b2,
+                *v, *factors["FU"], *fv_c,
+                *ue, *de, p2[c], m2[c],
+                factors["FE0"][0], factors["FE0"][1 + c],
+                factors["PA1"][0], factors["PA1"][1 + c],
+                factors["PA2"][0], factors["PA2"][1 + c],
+            )
+            outs.append(out_c)
+        return tuple(outs)
 
     return prep, apply

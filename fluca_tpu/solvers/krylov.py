@@ -185,6 +185,80 @@ def _nz(x):
 
 
 # ----------------------------------------------------------------------
+# Fixed-budget variants (production presets): identical update
+# formulas, but a Python-unrolled loop with NO convergence test. With
+# rtol=1e-30 the while_loop variants never exit early either, so the
+# iterates are the same — what the fixed forms remove is the
+# data-dependent scalar cond (a device-serializing sync point per
+# iteration) and the per-iteration residual-norm reduction. Measured
+# on v5e at 128^3 (PROFILE128.json): the production step's
+# while-loop solvers cost ~29 ms over the sum of their own parts;
+# the unrolled forms close most of that.
+# ----------------------------------------------------------------------
+
+def cg_fixed(A, b, iters: int, M=None, project=None) -> KrylovResult:
+    """iters CG iterations, no convergence test, final-residual norm
+    only (one reduction at the end)."""
+    M = M or _identity
+    P = project or _identity
+    b = P(b)
+    x = tree_zeros_like(b)
+    r = b
+    z = P(M(r))
+    p = z
+    rz = tree_dot(r, z)
+    for _ in range(iters):
+        Ap = P(A(p))
+        pAp = tree_dot(p, Ap)
+        alpha = rz / _nz(pAp)
+        x = tree_axpy(alpha, p, x)
+        r = tree_axpy(-alpha, Ap, r)
+        z = P(M(r))
+        rz_new = tree_dot(r, z)
+        beta = rz_new / _nz(rz)
+        p = tree_axpy(beta, p, z)
+        rz = rz_new
+    rnorm = tree_norm(r)
+    return KrylovResult(
+        x=P(x), iters=jnp.array(iters, jnp.int32), rnorm=rnorm,
+        converged=jnp.isfinite(rnorm),
+    )
+
+
+def bicgstab_fixed(A, b, iters: int, M=None) -> KrylovResult:
+    """iters BiCGStab iterations, no convergence test."""
+    M = M or _identity
+    x = tree_zeros_like(b)
+    r = b
+    rhat = r
+    p = tree_zeros_like(b)
+    v = tree_zeros_like(b)
+    one = jnp.asarray(
+        1.0, dtype=jnp.result_type(*jax.tree_util.tree_leaves(b))
+    )
+    rho = alpha = omega = one
+    for _ in range(iters):
+        rho_new = tree_dot(rhat, r)
+        beta = (rho_new / _nz(rho)) * (alpha / _nz(omega))
+        p = tree_axpy(beta, tree_axpy(-omega, v, p), r)
+        phat = M(p)
+        v = A(phat)
+        alpha = rho_new / _nz(tree_dot(rhat, v))
+        s = tree_axpy(-alpha, v, r)
+        shat = M(s)
+        t = A(shat)
+        omega = tree_dot(t, s) / _nz(tree_dot(t, t))
+        x = tree_axpy(alpha, phat, tree_axpy(omega, shat, x))
+        r = tree_axpy(-omega, t, s)
+        rho = rho_new
+    rnorm = tree_norm(r)
+    return KrylovResult(
+        x=x, iters=jnp.array(iters, jnp.int32), rnorm=rnorm,
+        converged=jnp.isfinite(rnorm),
+    )
+
+
+# ----------------------------------------------------------------------
 # Fixed-budget flexible GCR (generalized conjugate residual)
 # ----------------------------------------------------------------------
 

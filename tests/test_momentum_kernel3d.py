@@ -86,3 +86,17 @@ def test_momentum3d_kernel_matches_xla(periodic, bcs, stretch):
             np.asarray(got[c]), np.asarray(ref[c]),
             rtol=0, atol=1e-12,
         )
+
+    # split (per-component) mode — the VMEM fallback used at the
+    # 256x256 cross-section of BASELINE #5 (VERDICT r3 item 2) —
+    # must produce identical results
+    prep_s, apply_s = build_momentum_apply_3d(
+        mesh, axbcs, rho, mu, dt, dtype, interpret=True,
+        force_split=True,
+    )
+    got_s = apply_s(v, prep_s(U0, v0f))
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(got_s[c]), np.asarray(ref[c]),
+            rtol=0, atol=1e-12,
+        )
