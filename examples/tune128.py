@@ -75,14 +75,27 @@ def main():
     print(json.dumps({k: v for k, v in prod.items() if k != "state"}),
           flush=True)
 
+    # bf16 ABF preconditioner under the f32 GCR outer: at >= 134 MB
+    # f32 fields the HBM streams at HALF rate (PROBE512.json), and
+    # the inner solves are ~80% of the step — bf16 inner state halves
+    # bytes AND (at 512-class sizes) doubles the achievable rate
+    p16 = CNLinearConfig.production()
+    p16.precond_dtype = "bfloat16"
+    r = run_combo(p16, "production+bf16_precond")
+    results.append(r)
+    print(json.dumps({k: v for k, v in r.items() if k != "state"}),
+          flush=True)
+
     mix = CNLinearConfig.production_fast()
-    mix.outer_type = "gcr"
     r = run_combo(mix, "gcr+jacobi+vcycle")
     results.append(r)
     print(json.dumps({k: v for k, v in r.items() if k != "state"}),
           flush=True)
 
-    fast = run_combo(CNLinearConfig.production_fast(),
+    fast = CNLinearConfig.production_fast(
+        outer_type="richardson"
+    )
+    fast = run_combo(fast,
                      "production_fast(richardson+jacobi+vcycle)")
     results.append(fast)
     print(json.dumps({k: v for k, v in fast.items() if k != "state"}),

@@ -105,6 +105,15 @@ class CNLinearConfig:
     mom_solver: str = "bicgstab"
     schur_solver: str = "cg"
     mom_omega: float = 1.0
+    # run the ABF preconditioner's inner solves (momentum + Schur) in
+    # reduced precision ("bfloat16"): the outer Krylov iteration is
+    # flexible (right-preconditioned GCR/FGMRES), so an inexact M only
+    # changes the contraction rate, never the converged answer — the
+    # coupled residual, outer dots and solution updates all stay in
+    # the solver dtype. On TPU this halves the HBM traffic of the
+    # dominant inner-solve passes (the whole point of bf16 hardware).
+    # None = inner solves in the solver dtype (reference semantics).
+    precond_dtype: str | None = None
 
     @classmethod
     def production(cls, outer=3, mom=8, schur=6):
@@ -130,22 +139,35 @@ class CNLinearConfig:
         )
 
     @classmethod
-    def production_fast(cls, outer=3, mom=8, schur=6, mom_omega=1.0):
+    def production_fast(cls, outer=3, mom=8, schur=6, mom_omega=1.0,
+                        outer_type="gcr"):
         """Fixed-budget preset on the overhead-free solver path:
-        Richardson outer + damped-Jacobi momentum + MG-Richardson
-        Schur. Identical operator/preconditioner structure to
-        ``production()`` but with every Krylov bookkeeping pass
-        (state ravels, Gram-Schmidt, dot products, per-iteration norm
-        reductions) removed — each outer iteration is exactly one
-        coupled residual plus one ABF application. Accuracy is
-        validated against the production preset by
-        tests/test_fastpath.py."""
+        GCR outer + damped-Jacobi momentum + MG-Richardson Schur.
+        Identical operator/preconditioner structure to
+        ``production()`` but with the per-iteration Krylov
+        bookkeeping of the inner solves removed — each outer
+        iteration is one coupled apply plus one ABF application plus
+        the GCR line-search dots. Accuracy is validated against the
+        production preset by tests/test_fastpath.py.
+
+        The outer defaults to GCR, not Richardson: the damped-Jacobi
+        momentum sweeps AMPLIFY instead of contract once the
+        convective CFL u*dt/h passes ~1 (A = I + dt C - b L loses
+        diagonal dominance), and the plain Richardson outer
+        compounds that geometrically — reproduced at the 128^3
+        channel bench config (CFL ~ 6): rnorm = inf within one step
+        (TUNE128.json, r3 BENCH error; regression:
+        tests/test_fastpath.py::test_high_cfl_richardson_fenced).
+        GCR's residual-minimizing line search keeps the same
+        preconditioner stable at any CFL (2 ms extra of a 22.6 ms
+        step at 128^3). Pass outer_type="richardson" explicitly for
+        CFL-<1 cases where the last 10% matters."""
         return cls(
             rtol=1e-30, maxiter=outer, restart=outer,
             converged_skip=True,
             mom_rtol=1e-30, mom_maxiter=mom,
             schur_rtol=1e-30, schur_maxiter=schur,
-            outer_type="richardson", mom_solver="jacobi",
+            outer_type=outer_type, mom_solver="jacobi",
             schur_solver="vcycle", mom_omega=mom_omega,
         )
 
@@ -195,6 +217,9 @@ class CNLinearSolver:
         self.mg = PoissonMG(mesh, bcs, scale=dt / rho, dtype=dtype)
         self.pin_pressure = not self.ops.has_pressure_outlet
         self._step_jit = {}
+        # reduced-precision preconditioner resources (lazy; see
+        # _pre_resources)
+        self._pre16 = None
         # device grid for domain decomposition (None = single device);
         # set via set_device_grid / NS.shard
         self.grid = None
@@ -275,9 +300,10 @@ class CNLinearSolver:
         mean = jnp.sum(vol * p) / jnp.sum(vol)
         return p - mean
 
-    def _solve_momentum(self, rhs_v, Acoeffs, diagA):
+    def _solve_momentum(self, rhs_v, Acoeffs, diagA, applyA=None):
         ops = self.ops
         inv_diag = tuple(1.0 / d for d in diagA)
+        A = applyA or (lambda v: ops.apply_A_coeffs(v, Acoeffs))
 
         if self.cfg.mom_solver == "gcr":
             # fixed-budget Jacobi-preconditioned GCR: 1 A-apply per
@@ -285,7 +311,7 @@ class CNLinearSolver:
             # line search, so it cannot diverge where plain Jacobi
             # does (convective CFL > ~1)
             return gcr(
-                lambda v: ops.apply_A_coeffs(v, Acoeffs),
+                A,
                 rhs_v,
                 maxiter=self.cfg.mom_maxiter,
                 M=lambda r: tuple(
@@ -305,15 +331,12 @@ class CNLinearSolver:
                 w * inv_diag[c] * rhs_v[c] for c in range(ops.dim)
             )
             for _ in range(self.cfg.mom_maxiter - 1):
-                Ax = ops.apply_A_coeffs(x, Acoeffs)
+                Ax = A(x)
                 x = tuple(
                     x[c] + w * inv_diag[c] * (rhs_v[c] - Ax[c])
                     for c in range(ops.dim)
                 )
             return x
-
-        def A(v):
-            return ops.apply_A_coeffs(v, Acoeffs)
 
         def M(r):
             return tuple(inv_diag[c] * r[c] for c in range(ops.dim))
@@ -352,11 +375,22 @@ class CNLinearSolver:
             )
         raise ValueError(f"unknown ainv type {kind!r}")
 
-    def _solve_schur(self, rhs_p, ainv1=None):
+    def _solve_schur(self, rhs_p, ainv1=None, mg=None):
         """Solve Stilde p = rhs with CG+MG (Atilde1 = I, symmetric) or
         FGMRES+MG (diag/rowsum, nonsymmetric Stilde =
-        -D T Atilde1^-1 G + D R = D T (I - Atilde1^-1) G - D Gst)."""
-        proj = self._project_p if self.pin_pressure else None
+        -D T Atilde1^-1 G + D R = D T (I - Atilde1^-1) G - D Gst).
+
+        ``mg`` overrides the multigrid hierarchy (the bf16 twin for
+        precond_dtype; the constant-nullspace projection then uses
+        that hierarchy's volumes)."""
+        mg = mg or self.mg
+        if self.pin_pressure:
+            vol = mg.levels[0].vol
+
+            def proj(p):
+                return p - jnp.sum(vol * p) / jnp.sum(vol)
+        else:
+            proj = None
         if ainv1 is None and self.cfg.schur_solver == "vcycle":
             # MG as the solver: schur_maxiter V-cycle Richardson
             # iterations. Per iteration this is one V-cycle plus one
@@ -365,12 +399,12 @@ class CNLinearSolver:
             # constant mode is projected once at the end (G of a
             # constant is 0, so a bounded constant component never
             # feeds back into the velocity update).
-            b = self.mg.scale_rhs(rhs_p)
-            lvl0 = self.mg.levels[0]
-            p = self.mg.precondition(b)
+            b = mg.scale_rhs(rhs_p)
+            lvl0 = mg.levels[0]
+            p = mg.precondition(b)
             for _ in range(self.cfg.schur_maxiter - 1):
-                r = self.mg._residual(lvl0, p, b)
-                p = p + self.mg.precondition(r)
+                r = mg._residual(lvl0, p, b)
+                p = p + mg.precondition(r)
             return proj(p) if proj else p
         if ainv1 is None:
             if (
@@ -378,18 +412,18 @@ class CNLinearSolver:
                 and self.cfg.schur_rtol <= 1e-20
             ):
                 return cg_fixed(
-                    self.mg.apply_op,
-                    self.mg.scale_rhs(rhs_p),
+                    mg.apply_op,
+                    mg.scale_rhs(rhs_p),
                     self.cfg.schur_maxiter,
-                    M=self.mg.precondition,
+                    M=mg.precondition,
                     project=proj,
                 ).x
             res = cg(
-                self.mg.apply_op,
-                self.mg.scale_rhs(rhs_p),
+                mg.apply_op,
+                mg.scale_rhs(rhs_p),
                 rtol=self.cfg.schur_rtol,
                 maxiter=self.cfg.schur_maxiter,
-                M=self.mg.precondition,
+                M=mg.precondition,
                 project=proj,
             )
             return res.x
@@ -416,11 +450,123 @@ class CNLinearSolver:
         p = res.x
         return proj(p) if proj else p
 
-    def _abf_apply(self, r, Acoeffs, diagA):
-        """PCApply_ABF (abfpc.c:48-111)."""
+    # -- reduced-precision preconditioner ------------------------------
+    def _pre_resources(self):
+        """Build (once) the precond_dtype twins: a reduced-precision
+        PoissonMG hierarchy and, where the f32 path runs a fused
+        momentum kernel, a matching kernel instance in that dtype.
+        Disabled under a multi-device grid (the sharded kernel
+        wrappers are f32-only for now)."""
+        if self.cfg.precond_dtype is None or (
+            self.grid is not None
+            and self.grid.mesh.devices.size > 1
+        ):
+            return None
+        pdt = jnp.dtype(self.cfg.precond_dtype)
+        if self._pre16 is not None and self._pre16["dtype"] == pdt:
+            return self._pre16
+        res = {"dtype": pdt, "momk3d": None, "momk2d": None}
+        res["mg"] = PoissonMG(
+            self.mesh, self.ops.bcs, scale=self.dt / self.rho,
+            dtype=pdt,
+        )
+        try:
+            from fluca_tpu.ops.pallas_stencil import (
+                build_momentum_apply_2d,
+                build_momentum_apply_3d,
+                pallas_available,
+            )
+
+            if pallas_available():
+                if self.ops._mom_kernel3d is not None:
+                    res["momk3d"] = build_momentum_apply_3d(
+                        self.mesh, self.ops.axbcs, self.rho,
+                        self.mu, self.dt, pdt,
+                    )[1]
+                elif self.ops._mom_kernel is not None:
+                    res["momk2d"] = build_momentum_apply_2d(
+                        self.mesh.N[0], self.mesh.N[1],
+                        self.mesh.periodic[0], self.mesh.periodic[1],
+                        pdt,
+                    )
+        except Exception:  # pragma: no cover
+            pass
+        self._pre16 = res
+        return res
+
+    def _precond_ctx(self, Acoeffs, diagA):
+        """Per-step reduced-precision context: the coefficient
+        fields and diag cast once (one pass), plus the A-apply
+        closure in that dtype. None when precond_dtype is off or the
+        coefficient format cannot be consumed in reduced precision."""
+        res = self._pre_resources()
+        if res is None:
+            return None
+        pdt = res["dtype"]
+        Ac = jax.tree_util.tree_map(
+            lambda x: x.astype(pdt), Acoeffs
+        )
+        ctx = {
+            "dtype": pdt,
+            "mg": res["mg"],
+            "diagA": tuple(d.astype(pdt) for d in diagA),
+            "Acoeffs": Ac,
+        }
+        if isinstance(Acoeffs, dict) and "FU" in Acoeffs:
+            if res["momk3d"] is None:
+                return None  # kernel-format coeffs need the kernel
+            ctx["applyA"] = lambda v: res["momk3d"](v, Ac)
+        elif not isinstance(Acoeffs, dict):
+            if res["momk2d"] is None:
+                return None
+            ctx["applyA"] = lambda v: res["momk2d"](
+                Ac, v[0].astype(pdt), v[1].astype(pdt)
+            )
+        else:
+            # generic banded-coefficient dict: the XLA shifted-slice
+            # apply is dtype-generic
+            ctx["applyA"] = lambda v: self.ops.apply_A_coeffs(
+                tuple(x.astype(pdt) for x in v), Ac
+            )
+        return ctx
+
+    def _abf_apply(self, r, Acoeffs, diagA, pre=None):
+        """PCApply_ABF (abfpc.c:48-111).
+
+        ``pre`` (from _precond_ctx): run the two inner solves in
+        reduced precision. Valid because the ABF application is a
+        preconditioner under a FLEXIBLE outer iteration: the
+        T/D/G/Gst chains, the outer residual and the solution
+        updates all stay in the solver dtype, so reduced precision
+        only perturbs M, never the converged answer."""
         ops = self.ops
         ainv1 = self._ainv_diag(self.cfg.schur_ainv, Acoeffs, diagA)
         ainv2 = self._ainv_diag(self.cfg.upper_ainv, Acoeffs, diagA)
+        if pre is not None and ainv1 is None and ainv2 is None:
+            pdt = pre["dtype"]
+            rv = tuple(x.astype(pdt) for x in r["v"])
+            vstar16 = self._solve_momentum(
+                rv, pre["Acoeffs"], pre["diagA"],
+                applyA=pre["applyA"],
+            )
+            vstar = tuple(
+                x.astype(self.dtype) for x in vstar16
+            )
+            Tv = ops.apply_T(vstar)
+            Ustar = tuple(
+                r["U"][d] + Tv[d] for d in range(ops.dim)
+            )
+            rp = r["p"] - ops.apply_D(Ustar)
+            p = self._solve_schur(
+                rp.astype(pdt), ainv1=None, mg=pre["mg"]
+            ).astype(self.dtype)
+            Gstp = ops.apply_Gst(p)
+            Gp = ops.apply_G(p)
+            v = tuple(vstar[c] - Gp[c] for c in range(ops.dim))
+            U = tuple(
+                Ustar[d] - Gstp[d] for d in range(ops.dim)
+            )
+            return {"v": v, "U": U, "p": p}
         vstar = self._solve_momentum(r["v"], Acoeffs, diagA)
         if (
             ops._chain3d is not None
@@ -535,11 +681,13 @@ class CNLinearSolver:
         else:
             Acoeffs = ops.build_momentum_coeffs(U0, v0f)
 
+        pre = self._precond_ctx(Acoeffs, diagA)
+
         if self.cfg.solve_type == "fsm":
             # classical fractional-step: one ABF application IS the
             # solve (Atilde = I, THEORY_GUIDE.md:320-349); report the
             # coupled residual for diagnostics
-            x = self._abf_apply(rhs, Acoeffs, diagA)
+            x = self._abf_apply(rhs, Acoeffs, diagA, pre)
             r = tree_sub(rhs, self._coupled_apply(x, Acoeffs))
             res = type("R", (), {})()
             res.x = x
@@ -555,7 +703,7 @@ class CNLinearSolver:
                 lambda x: self._coupled_apply(x, Acoeffs),
                 rhs,
                 maxiter=self.cfg.maxiter,
-                M=lambda r: self._abf_apply(r, Acoeffs, diagA),
+                M=lambda r: self._abf_apply(r, Acoeffs, diagA, pre),
             )
             res.converged = jnp.logical_and(
                 res.converged, jnp.isfinite(jnp.sum(res.x["p"]))
@@ -569,14 +717,14 @@ class CNLinearSolver:
             # iterated pressure-correction scheme. Exactly one coupled
             # apply + one ABF application per iteration; no state
             # ravels, no Gram-Schmidt, no basis buffers.
-            x = self._abf_apply(rhs, Acoeffs, diagA)
+            x = self._abf_apply(rhs, Acoeffs, diagA, pre)
             rlast = rhs
             for _ in range(self.cfg.maxiter - 1):
                 rlast = tree_sub(
                     rhs, self._coupled_apply(x, Acoeffs)
                 )
                 x = tree_add(
-                    x, self._abf_apply(rlast, Acoeffs, diagA)
+                    x, self._abf_apply(rlast, Acoeffs, diagA, pre)
                 )
             res = type("R", (), {})()
             res.x = x
@@ -607,7 +755,7 @@ class CNLinearSolver:
                 rtol=self.cfg.rtol,
                 restart=self.cfg.restart,
                 maxiter=self.cfg.maxiter,
-                M=lambda r: self._abf_apply(r, Acoeffs, diagA),
+                M=lambda r: self._abf_apply(r, Acoeffs, diagA, pre),
             )
         x = res.x
         dp = self._project_p(x["p"])
@@ -657,11 +805,19 @@ class CNLinearSolver:
             (lvl.vol, lvl.cellvol, lvl.inv_diag)
             for lvl in self.mg.levels
         ]
-        return {
+        out = {
             "diag_L": tuple(self.ops.diag_L),
             "mg": mg_tabs,
             "pinv": getattr(self.mg, "_coarse_pinv", None),
         }
+        if self._pre16 is not None:
+            mg16 = self._pre16["mg"]
+            out["mg16"] = [
+                (lvl.vol, lvl.cellvol, lvl.inv_diag)
+                for lvl in mg16.levels
+            ]
+            out["pinv16"] = getattr(mg16, "_coarse_pinv", None)
+        return out
 
     @staticmethod
     def _donate():
@@ -694,6 +850,12 @@ class CNLinearSolver:
             lvl.vol, lvl.cellvol, lvl.inv_diag = v, cv, idg
         if tabs["pinv"] is not None:
             self.mg._coarse_pinv = tabs["pinv"]
+        if self._pre16 is not None and "mg16" in tabs:
+            mg16 = self._pre16["mg"]
+            for lvl, (v, cv, idg) in zip(mg16.levels, tabs["mg16"]):
+                lvl.vol, lvl.cellvol, lvl.inv_diag = v, cv, idg
+            if tabs.get("pinv16") is not None:
+                mg16._coarse_pinv = tabs["pinv16"]
         return old
 
     def _traced_step(self, state, t, tabs, is_first):
@@ -707,6 +869,9 @@ class CNLinearSolver:
         """Jitted single step; two compiled variants (first step uses
         q = p0, later steps q = phalf)."""
         is_first = step_index == 0
+        # build reduced-precision twins EAGERLY (host side) so their
+        # tables enter _big_tables before the trace
+        self._pre_resources()
         t = jnp.asarray(t, self.dtype)
         if not self._tables_as_params():
             if is_first not in self._step_jit:
@@ -727,6 +892,7 @@ class CNLinearSolver:
         program via lax.scan (no host round-trip per step). Returns
         (state, diag-of-last-step with worst-case rnorm/min
         convergence across the batch)."""
+        self._pre_resources()  # before _big_tables (see step())
         if "scan" not in self._step_jit:
             as_params = self._tables_as_params()
 

@@ -36,9 +36,17 @@ from jax.flatten_util import ravel_pytree
 # ----------------------------------------------------------------------
 
 def tree_dot(a, b):
+    """Tree inner product; reduced-precision leaves (bf16 inner
+    solves) accumulate in float32 — the products are rounded to the
+    leaf dtype but the O(n) summation must not be."""
     leaves_a = jax.tree_util.tree_leaves(a)
     leaves_b = jax.tree_util.tree_leaves(b)
-    return sum(jnp.vdot(x, y) for x, y in zip(leaves_a, leaves_b))
+    tot = None
+    for x, y in zip(leaves_a, leaves_b):
+        acc = jnp.promote_types(x.dtype, jnp.float32)
+        d = jnp.sum((x * y).astype(acc))
+        tot = d if tot is None else tot + d
+    return tot
 
 
 def tree_norm(a):
@@ -46,12 +54,20 @@ def tree_norm(a):
 
 
 def tree_axpy(alpha, x, y):
-    """y + alpha * x"""
-    return jax.tree_util.tree_map(lambda xi, yi: yi + alpha * xi, x, y)
+    """y + alpha * x. The scalar is cast to each leaf's dtype so
+    that f32 scalars (tree_dot accumulates in f32) do not silently
+    promote reduced-precision (bf16) vectors."""
+    a = jnp.asarray(alpha)
+    return jax.tree_util.tree_map(
+        lambda xi, yi: yi + a.astype(xi.dtype) * xi, x, y
+    )
 
 
 def tree_scale(alpha, x):
-    return jax.tree_util.tree_map(lambda xi: alpha * xi, x)
+    a = jnp.asarray(alpha)
+    return jax.tree_util.tree_map(
+        lambda xi: a.astype(xi.dtype) * xi, x
+    )
 
 
 def tree_sub(x, y):

@@ -53,6 +53,7 @@ _SLOW = {
     "test_ns_converged_reasons",
     "test_cavity_ghia_re100_64",
     "test_stretched_channel_fixed_budget_solvers",
+    "test_high_cfl_richardson_fenced",
 }
 
 

@@ -77,6 +77,43 @@ def test_fast_path_3d_smoke():
     assert np.all(np.isfinite(np.asarray(ns.state["v"][0])))
 
 
+def test_high_cfl_richardson_fenced():
+    """Regression for the r3 bench divergence (BENCH_r03.json
+    "NS step 0 diverged: rnorm=inf"): on the PERTURBED impulsive
+    channel start (the bench initial condition: laminar profile x
+    (1 + 0.1 randn), CFL ~ 6) the damped-Jacobi momentum sweeps
+    amplify — the rough convection field breaks A's diagonal
+    dominance — and the plain Richardson outer compounds that
+    geometrically. The GCR outer's residual-minimizing line search
+    keeps the SAME preconditioner bounded (|r| non-increasing), which
+    is why production_fast now defaults to it. Isolation runs
+    (2026-08-20, CPU f32): perturb=0 converges at every size;
+    perturb=0.1 diverges richardson at 32^3 and 64^3 alike."""
+    from fluca_tpu.models.channel import setup_channel_3d
+
+    def step0_rnorm(outer_type):
+        ns = setup_channel_3d(
+            N=(32, 16, 16), dt=8e-3, max_steps=5, perturb=0.1,
+            dtype=jnp.float32,
+        )
+        ns.impl.cfg = CNLinearConfig.production_fast(
+            3, 8, 6, outer_type=outer_type
+        )
+        ns.error_if_step_failed = False
+        ns.step()
+        return float(ns.last_diag["ksp_rnorm"])
+
+    r_gcr = step0_rnorm("gcr")
+    r_rich = step0_rnorm("richardson")
+    assert np.isfinite(r_gcr), r_gcr
+    # GCR cannot increase the residual past |b| ~ |v0| ~ 2e3 here
+    assert r_gcr < 1e5, r_gcr
+    # richardson blows past gcr by orders of magnitude (or to inf)
+    assert (not np.isfinite(r_rich)) or r_rich > 100.0 * r_gcr, (
+        r_gcr, r_rich,
+    )
+
+
 def test_production_budget_at_production_size():
     """Pin the fixed budgets (o3/m8/s6) at a production-like size:
     the presets were tuned at small grids, and VERDICT r2 flagged
