@@ -301,27 +301,39 @@ def channel512_bench(steps=20):
     from fluca_tpu.ns.cnlinear import CNLinearConfig
 
     N = (512, 256, 256)
-    ns = setup_channel_3d(N=N, dt=1e-3, max_steps=10**9,
-                          stretch_y=2.0, dtype=jnp.float32)
-    # Solver combo for this shape (measured 2026-08-20, stretched
-    # 64x32x32 repro): the wall-clustered grid makes the anisotropic
-    # Poisson V-cycle a DIVERGENT Richardson iteration and breaks the
-    # Jacobi momentum sweeps, so production_fast (richardson outer)
-    # blows up at step 0. GCR outer is monotone under the same rough
-    # ABF preconditioner (rnorm 22.8 vs FGMRES-production's 23.2 at
-    # the repro size) while staying tree-native: no flat ravel of the
-    # 235M-element coupled state, O(maxiter) state pairs instead of
-    # FGMRES's padded basis+Z buffers.
-    # outer=2: the o3 program needs 16.03G HBM (15.75G chip, 7.6%
-    # fragmentation) — one fewer GCR (p, Ap) coupled pair saves
-    # ~1.1 GB and fits. Residual quality at the repro size: o2
-    # rnorm 58 vs o3 22.8 vs converged-production 23.2 — stable and
-    # monotone either way.
-    cfg = CNLinearConfig.production_fast(2, 8, 6)
-    cfg.outer_type = "gcr"
-    cfg.mom_solver = "bicgstab"
-    cfg.schur_solver = "cg"
-    ns.impl.cfg = cfg
+    # Solver combo for this shape: GCR outer + bicgstab momentum +
+    # CG Schur (the wall-clustered grid makes the anisotropic
+    # V-cycle a divergent Richardson iteration and breaks Jacobi
+    # momentum, so the jacobi/vcycle fast selections are out). r4:
+    # production() IS that combo in fixed-trip form, and the bf16
+    # ABF preconditioner halves the inner-solve bytes — which at
+    # this shape also DOUBLES the achievable HBM rate (f32 fields
+    # are 134 MB: the >=134MB copy roofline is ~330 GB/s vs ~670
+    # for the 67 MB bf16 fields, PROBE512.json). The bf16 inner
+    # state is also what lets outer=3 fit in HBM (r3 had to clamp
+    # to o2: 16.03G vs 15.75G; VERDICT r3 item 4).
+    attempts = [
+        ("o3+bf16", 3, "bfloat16"),
+        ("o2+bf16", 2, "bfloat16"),
+        ("o2", 2, None),
+    ]
+    ns = None
+    for label, outer, pdt in attempts:
+        try:
+            ns = setup_channel_3d(N=N, dt=1e-3, max_steps=10**9,
+                                  stretch_y=2.0, dtype=jnp.float32)
+            cfg = CNLinearConfig.production(outer, 8, 6)
+            cfg.precond_dtype = pdt
+            ns.impl.cfg = cfg
+            ns.step()  # compiles + runs one step (OOM shows here)
+            solver_label = label
+            break
+        except Exception as e:
+            print(f"channel512 {label} failed: {type(e).__name__}: "
+                  f"{e}", file=sys.stderr)
+            ns = None
+    if ns is None:
+        raise RuntimeError("channel512: every solver attempt failed")
     ops = ns.impl.ops
     # no SILENT fallback (VERDICT r2 item 3): the Poisson/MG kernels
     # (2-4 live planes) must be active at a 256x256 cross-section;
@@ -341,12 +353,15 @@ def channel512_bench(steps=20):
     )
     kstat = {
         "poisson": "pallas",
+        # r4: the split (per-component) kernel mode lifts the r3
+        # VMEM clamp at the 256x256 cross-section
         "momentum": "pallas" if ops._mom_kernel3d is not None
         else "xla (vmem clamp at 256x256 cross-section)",
         "chain": chain_cause,
     }
 
     sps = _advance_throughput(ns, steps)
+    rnorm = float(ns.last_diag["ksp_rnorm"])
 
     # stencil SpMV GB/s at this shape (2 field sweeps per apply)
     x = jnp.zeros(ns.mesh.cell_shape, jnp.float32)
@@ -360,6 +375,13 @@ def channel512_bench(steps=20):
         "ms_per_step": round(1e3 / sps, 1),
         "mcells_per_sec": round(cells * sps / 1e6, 1),
         "spmv_gbps": round(gbps, 1),
+        # the per-shape machine limit: >=134MB f32 buffers stream at
+        # ~330 GB/s on this chip (PROBE512.json), not the ~670 GB/s
+        # of <=67MB buffers — spmv_gbps is capped by that, not by
+        # the kernel
+        "copy_roofline_at_shape_gbps": 330.0,
+        "solver": solver_label,
+        "ksp_rnorm": round(rnorm, 2),
         "grid": list(N),
         "kernels": kstat,
     }

@@ -78,13 +78,21 @@ def main():
     # bf16 ABF preconditioner under the f32 GCR outer: at >= 134 MB
     # f32 fields the HBM streams at HALF rate (PROBE512.json), and
     # the inner solves are ~80% of the step — bf16 inner state halves
-    # bytes AND (at 512-class sizes) doubles the achievable rate
-    p16 = CNLinearConfig.production()
-    p16.precond_dtype = "bfloat16"
-    r = run_combo(p16, "production+bf16_precond")
-    results.append(r)
-    print(json.dumps({k: v for k, v in r.items() if k != "state"}),
-          flush=True)
+    # bytes AND (at 512-class sizes) doubles the achievable rate.
+    # Scope/outer variants: a weaker M may need an extra outer.
+    for label, outer, scope in [
+        ("production+bf16_precond", 3, "both"),
+        ("production+bf16_mom_only", 3, "mom"),
+        ("production_o4+bf16_precond", 4, "both"),
+    ]:
+        p16 = CNLinearConfig.production(outer, 8, 6)
+        p16.precond_dtype = "bfloat16"
+        p16.precond_scope = scope
+        r = run_combo(p16, label)
+        results.append(r)
+        print(json.dumps(
+            {k: v for k, v in r.items() if k != "state"}
+        ), flush=True)
 
     mix = CNLinearConfig.production_fast()
     r = run_combo(mix, "gcr+jacobi+vcycle")

@@ -114,6 +114,11 @@ class CNLinearConfig:
     # dominant inner-solve passes (the whole point of bf16 hardware).
     # None = inner solves in the solver dtype (reference semantics).
     precond_dtype: str | None = None
+    # which inner solves run reduced-precision: "both" or "mom"
+    # (momentum only — the Schur/pressure solve stays in the solver
+    # dtype, preserving most of M's contraction at ~60% of the
+    # saving)
+    precond_scope: str = "both"
 
     @classmethod
     def production(cls, outer=3, mom=8, schur=6):
@@ -388,7 +393,12 @@ class CNLinearSolver:
             vol = mg.levels[0].vol
 
             def proj(p):
-                return p - jnp.sum(vol * p) / jnp.sum(vol)
+                # accumulate the O(n) sums in f32 even when the
+                # hierarchy is bf16: a bf16 accumulator loses the
+                # mean entirely at production sizes
+                num = jnp.sum((vol * p).astype(jnp.float32))
+                den = jnp.sum(vol.astype(jnp.float32))
+                return p - (num / den).astype(p.dtype)
         else:
             proj = None
         if ainv1 is None and self.cfg.schur_solver == "vcycle":
@@ -463,13 +473,20 @@ class CNLinearSolver:
         ):
             return None
         pdt = jnp.dtype(self.cfg.precond_dtype)
-        if self._pre16 is not None and self._pre16["dtype"] == pdt:
+        if (
+            self._pre16 is not None
+            and self._pre16["dtype"] == pdt
+            and (self._pre16["mg"] is None)
+            == (self.cfg.precond_scope == "mom")
+        ):
             return self._pre16
-        res = {"dtype": pdt, "momk3d": None, "momk2d": None}
-        res["mg"] = PoissonMG(
-            self.mesh, self.ops.bcs, scale=self.dt / self.rho,
-            dtype=pdt,
-        )
+        res = {"dtype": pdt, "momk3d": None, "momk2d": None,
+               "mg": None}
+        if self.cfg.precond_scope != "mom":
+            res["mg"] = PoissonMG(
+                self.mesh, self.ops.bcs, scale=self.dt / self.rho,
+                dtype=pdt,
+            )
         try:
             from fluca_tpu.ops.pallas_stencil import (
                 build_momentum_apply_2d,
@@ -557,9 +574,12 @@ class CNLinearSolver:
                 r["U"][d] + Tv[d] for d in range(ops.dim)
             )
             rp = r["p"] - ops.apply_D(Ustar)
-            p = self._solve_schur(
-                rp.astype(pdt), ainv1=None, mg=pre["mg"]
-            ).astype(self.dtype)
+            if self.cfg.precond_scope == "mom":
+                p = self._solve_schur(rp, ainv1=None)
+            else:
+                p = self._solve_schur(
+                    rp.astype(pdt), ainv1=None, mg=pre["mg"]
+                ).astype(self.dtype)
             Gstp = ops.apply_Gst(p)
             Gp = ops.apply_G(p)
             v = tuple(vstar[c] - Gp[c] for c in range(ops.dim))
@@ -810,7 +830,7 @@ class CNLinearSolver:
             "mg": mg_tabs,
             "pinv": getattr(self.mg, "_coarse_pinv", None),
         }
-        if self._pre16 is not None:
+        if self._pre16 is not None and self._pre16["mg"] is not None:
             mg16 = self._pre16["mg"]
             out["mg16"] = [
                 (lvl.vol, lvl.cellvol, lvl.inv_diag)
@@ -850,7 +870,11 @@ class CNLinearSolver:
             lvl.vol, lvl.cellvol, lvl.inv_diag = v, cv, idg
         if tabs["pinv"] is not None:
             self.mg._coarse_pinv = tabs["pinv"]
-        if self._pre16 is not None and "mg16" in tabs:
+        if (
+            self._pre16 is not None
+            and self._pre16["mg"] is not None
+            and "mg16" in tabs
+        ):
             mg16 = self._pre16["mg"]
             for lvl, (v, cv, idg) in zip(mg16.levels, tabs["mg16"]):
                 lvl.vol, lvl.cellvol, lvl.inv_diag = v, cv, idg

@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fluca_tpu.ops.banded import compose_axis_stencils
+from fluca_tpu.ops.pallas_stencil import _roll
 
 # band-row packing (per axis, rows x N). Offsets are those that can
 # be NONZERO in the lo-face rows (0..N-1) across all BC types —
@@ -316,13 +317,13 @@ class Chain3D:
                 return b2r[r, :][None, :]
 
             def hi1(lo, patch):
-                r = pltpu.roll(lo, N1 - 1, 0)
+                r = _roll(lo, N1 - 1, 0)
                 return (
                     jnp.where(lastrow, patch, r) if need_patch1 else r
                 )
 
             def hi2(lo, patch):
-                r = pltpu.roll(lo, N2 - 1, 1)
+                r = _roll(lo, N2 - 1, 1)
                 return (
                     jnp.where(lastcol, patch, r) if need_patch2 else r
                 )
@@ -343,17 +344,17 @@ class Chain3D:
                     acc = (w1(_rG(-1)) * A1m + w1(_rG(0)) * P
                            + w1(_rG(1)) * A1p)
                     if gm2[1]:
-                        acc = acc + w1(_rG(-2)) * pltpu.roll(P, 2, 0)
+                        acc = acc + w1(_rG(-2)) * _roll(P, 2, 0)
                     if gp2[1]:
-                        acc = acc + w1(_rG(2)) * pltpu.roll(
+                        acc = acc + w1(_rG(2)) * _roll(
                             P, N1 - 2, 0)
                     return acc
                 acc = (w2(_rG(-1)) * A2m + w2(_rG(0)) * P
                        + w2(_rG(1)) * A2p)
                 if gm2[2]:
-                    acc = acc + w2(_rG(-2)) * pltpu.roll(P, 2, 1)
+                    acc = acc + w2(_rG(-2)) * _roll(P, 2, 1)
                 if gp2[2]:
-                    acc = acc + w2(_rG(2)) * pltpu.roll(P, N2 - 2, 1)
+                    acc = acc + w2(_rG(2)) * _roll(P, N2 - 2, 1)
                 return acc
 
             if which == "coupled":
@@ -383,10 +384,10 @@ class Chain3D:
                         pde1[0] if s == TM - 2
                         else (pde2[0] if s == TM - 1 else Pp[s + 2])
                     )
-                    A1m = pltpu.roll(P, 1, 0)
-                    A1p = pltpu.roll(P, N1 - 1, 0)
-                    A2m = pltpu.roll(P, 1, 1)
-                    A2p = pltpu.roll(P, N2 - 1, 1)
+                    A1m = _roll(P, 1, 0)
+                    A1p = _roll(P, N1 - 1, 0)
+                    A2m = _roll(P, 1, 1)
+                    A2p = _roll(P, N2 - 1, 1)
 
                     # out_v = Av + G p
                     for c in range(3):
@@ -413,33 +414,33 @@ class Chain3D:
                     OUTU[0][s] = UL[0][s] - t0 - r0
 
                     v1 = V[1][s]
-                    t1 = (w1(_rT(-1)) * pltpu.roll(v1, 1, 0)
+                    t1 = (w1(_rT(-1)) * _roll(v1, 1, 0)
                           + w1(_rT(0)) * v1)
                     if tp1[1]:
-                        t1 = t1 + w1(_rT(1)) * pltpu.roll(
+                        t1 = t1 + w1(_rT(1)) * _roll(
                             v1, N1 - 1, 0)
                     r1 = w1(_rR(-1)) * A1m + w1(_rR(0)) * P
                     if rm2[1]:
-                        r1 = r1 + w1(_rR(-2)) * pltpu.roll(P, 2, 0)
+                        r1 = r1 + w1(_rR(-2)) * _roll(P, 2, 0)
                     if rp1[1]:
                         r1 = r1 + w1(_rR(1)) * A1p
                     if rp2[1]:
-                        r1 = r1 + w1(_rR(2)) * pltpu.roll(P, N1 - 2, 0)
+                        r1 = r1 + w1(_rR(2)) * _roll(P, N1 - 2, 0)
                     OUTU[1][s] = UL[1][s] - t1 - r1
 
                     v2 = V[2][s]
-                    t2 = (w2(_rT(-1)) * pltpu.roll(v2, 1, 1)
+                    t2 = (w2(_rT(-1)) * _roll(v2, 1, 1)
                           + w2(_rT(0)) * v2)
                     if tp1[2]:
-                        t2 = t2 + w2(_rT(1)) * pltpu.roll(
+                        t2 = t2 + w2(_rT(1)) * _roll(
                             v2, N2 - 1, 1)
                     r2 = w2(_rR(-1)) * A2m + w2(_rR(0)) * P
                     if rm2[2]:
-                        r2 = r2 + w2(_rR(-2)) * pltpu.roll(P, 2, 1)
+                        r2 = r2 + w2(_rR(-2)) * _roll(P, 2, 1)
                     if rp1[2]:
                         r2 = r2 + w2(_rR(1)) * A2p
                     if rp2[2]:
-                        r2 = r2 + w2(_rR(2)) * pltpu.roll(P, N2 - 2, 1)
+                        r2 = r2 + w2(_rR(2)) * _roll(P, N2 - 2, 1)
                     OUTU[2][s] = UL[2][s] - t2 - r2
 
                     # out_p = D U
@@ -471,17 +472,17 @@ class Chain3D:
                         t0 = t0 + s0(_rT(1), s) * v0_dn
                     OUTU[0][s] = RU[0][s] + t0
                     v1 = V[1][s]
-                    t1 = (w1(_rT(-1)) * pltpu.roll(v1, 1, 0)
+                    t1 = (w1(_rT(-1)) * _roll(v1, 1, 0)
                           + w1(_rT(0)) * v1)
                     if tp1[1]:
-                        t1 = t1 + w1(_rT(1)) * pltpu.roll(
+                        t1 = t1 + w1(_rT(1)) * _roll(
                             v1, N1 - 1, 0)
                     OUTU[1][s] = RU[1][s] + t1
                     v2 = V[2][s]
-                    t2 = (w2(_rT(-1)) * pltpu.roll(v2, 1, 1)
+                    t2 = (w2(_rT(-1)) * _roll(v2, 1, 1)
                           + w2(_rT(0)) * v2)
                     if tp1[2]:
-                        t2 = t2 + w2(_rT(1)) * pltpu.roll(
+                        t2 = t2 + w2(_rT(1)) * _roll(
                             v2, N2 - 1, 1)
                     OUTU[2][s] = RU[2][s] + t2
                     # out_rp = rp - D rU - DT v
@@ -496,16 +497,16 @@ class Chain3D:
                     acc = acc + (
                         w1(_rD(0)) * RU[1][s]
                         + w1(_rD(1)) * hi1(RU[1][s], ru1top[s])
-                        + w1(_rDT(-1)) * pltpu.roll(v1, 1, 0)
+                        + w1(_rDT(-1)) * _roll(v1, 1, 0)
                         + w1(_rDT(0)) * v1
-                        + w1(_rDT(1)) * pltpu.roll(v1, N1 - 1, 0)
+                        + w1(_rDT(1)) * _roll(v1, N1 - 1, 0)
                     )
                     acc = acc + (
                         w2(_rD(0)) * RU[2][s]
                         + w2(_rD(1)) * hi2(RU[2][s], ru2top[s])
-                        + w2(_rDT(-1)) * pltpu.roll(v2, 1, 1)
+                        + w2(_rDT(-1)) * _roll(v2, 1, 1)
                         + w2(_rDT(0)) * v2
-                        + w2(_rDT(1)) * pltpu.roll(v2, N2 - 1, 1)
+                        + w2(_rDT(1)) * _roll(v2, N2 - 1, 1)
                     )
                     OUTRP[s] = RP[s] - acc
 
@@ -521,10 +522,10 @@ class Chain3D:
                     P = Pp[s]
                     p_up1 = pue1[0] if s == 0 else Pp[s - 1]
                     p_dn1 = pde1[0] if s == TM - 1 else Pp[s + 1]
-                    A1m = pltpu.roll(P, 1, 0)
-                    A1p = pltpu.roll(P, N1 - 1, 0)
-                    A2m = pltpu.roll(P, 1, 1)
-                    A2p = pltpu.roll(P, N2 - 1, 1)
+                    A1m = _roll(P, 1, 0)
+                    A1p = _roll(P, N1 - 1, 0)
+                    A2m = _roll(P, 1, 1)
+                    A2p = _roll(P, N2 - 1, 1)
                     for c in range(3):
                         OUTV[c][s] = VS[c][s] - gradG(
                             c, s, P, p_up1, p_dn1, P2, M2,

@@ -34,6 +34,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _roll(x, shift, axis):
+    """pltpu.roll for any element width. Mosaic's dynamic_rotate
+    only supports 32-bit lanes ("Rotate with non-32-bit data" for
+    bf16), so sub-32-bit planes roll through an f32 round-trip —
+    lossless for bf16 (a subset of f32) and VPU-only (the kernels
+    are HBM-bound, so the extra converts are free)."""
+    if x.dtype.itemsize < 4:
+        return pltpu.roll(
+            x.astype(jnp.float32), shift, axis
+        ).astype(x.dtype)
+    return pltpu.roll(x, shift, axis)
+
+
+def _coef_dtype(dtype):
+    """Coefficient/band arrays stay f32 in sub-32-bit kernels: SMEM
+    scalar reads want 32-bit, the coefficients deserve the
+    precision, and their traffic is negligible — only the big
+    streamed fields carry the bf16 byte savings. Products
+    f32 x bf16 accumulate in f32; outputs cast at the store."""
+    dt = jnp.dtype(dtype)
+    return jnp.float32 if dt.itemsize < 4 else dt
+
+
 def poisson2d_coeffs(level):
     """Host-precomputed separable coefficient arrays (numpy f64):
     RX (3, N0), RY (N0,), CY (N1,), CYb (3, N1). Shared by the local
@@ -104,8 +127,8 @@ def poisson2d_raw_call(N0, N1, dtype, *, mode="apply", omega=0.8,
         # edge columns
         out_ref = rest[-1]
         p = block[...]
-        up = pltpu.roll(p, 1, 0)
-        dn = pltpu.roll(p, TM - 1, 0)
+        up = _roll(p, 1, 0)
+        dn = _roll(p, TM - 1, 0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (TM, N1), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (TM, N1), 1)
         up = jnp.where(rows == 0, ue[0], up)
@@ -118,8 +141,8 @@ def poisson2d_raw_call(N0, N1, dtype, *, mode="apply", omega=0.8,
         cyv = cy_ref[...][None, :]
         xterm = (rxm * up + rx0 * p + rxp * dn) * cyv
 
-        left = pltpu.roll(p, 1, 1)
-        right = pltpu.roll(p, N1 - 1, 1)
+        left = _roll(p, 1, 1)
+        right = _roll(p, N1 - 1, 1)
         left = jnp.where(cols == 0, le[...], left)
         right = jnp.where(cols == N1 - 1, re[...], right)
         cybm = cyb_ref[0, :][None, :]
@@ -128,13 +151,15 @@ def poisson2d_raw_call(N0, N1, dtype, *, mode="apply", omega=0.8,
         sp = xterm + ryv * (cybm * left + cyb0 * p + cybp * right)
 
         if mode == "apply":
-            out_ref[...] = sp
+            out_ref[...] = sp.astype(dtype)
         elif mode == "residual":
             b_ref = rest[0]
-            out_ref[...] = b_ref[...] - sp
+            out_ref[...] = (b_ref[...] - sp).astype(dtype)
         else:  # smooth
             b_ref, w_ref = rest[0], rest[1]
-            out_ref[...] = p + omega * w_ref[...] * (b_ref[...] - sp)
+            out_ref[...] = (
+                p + omega * w_ref[...] * (b_ref[...] - sp)
+            ).astype(dtype)
 
     n_extra = {"apply": 0, "residual": 1, "smooth": 2}[mode]
     call = pl.pallas_call(
@@ -212,10 +237,11 @@ def _build_poisson_2d(level, *, mode="apply", omega=0.8,
         interpret=interpret,
     )
 
-    rx = jnp.asarray(RX, dtype)
-    ry2 = jnp.asarray(RY, dtype)[None, :]  # (1, N0): tile block (1, TM)
-    cy = jnp.asarray(CY, dtype)
-    cyb = jnp.asarray(CYb, dtype)
+    cdt = _coef_dtype(dtype)
+    rx = jnp.asarray(RX, cdt)
+    ry2 = jnp.asarray(RY, cdt)[None, :]  # (1, N0): tile block (1, TM)
+    cy = jnp.asarray(CY, cdt)
+    cyb = jnp.asarray(CYb, cdt)
 
     def lr_edges(p):
         if per1:
@@ -351,26 +377,28 @@ def poisson3d_raw_call(N0, N1, N2, dtype, *, mode="apply", omega=0.8,
             c0p = a0t[2, base + s]
             term0 = (c0m * up + c00 * p + c0p * dn) * h12v
 
-            left = pltpu.roll(p, 1, 0)
-            right = pltpu.roll(p, N1 - 1, 0)
+            left = _roll(p, 1, 0)
+            right = _roll(p, N1 - 1, 0)
             left = jnp.where(rows == 0, le1[s], left)
             right = jnp.where(rows == N1 - 1, re1[s], right)
             term1 = w1m * left + w10 * p + w1p * right
 
-            fwd = pltpu.roll(p, 1, 1)
-            bwd = pltpu.roll(p, N2 - 1, 1)
+            fwd = _roll(p, 1, 1)
+            bwd = _roll(p, N2 - 1, 1)
             fwd = jnp.where(cols == 0, le2[s], fwd)
             bwd = jnp.where(cols == N2 - 1, re2[s], bwd)
             term2 = w2m * fwd + w20 * p + w2p * bwd
 
             sp = term0 + h0t[base + s] * (term1 + term2)
             if mode == "apply":
-                out_ref[s] = sp
+                out_ref[s] = sp.astype(dtype)
             elif mode == "residual":
-                out_ref[s] = rest[0][s] - sp
+                out_ref[s] = (rest[0][s] - sp).astype(dtype)
             else:  # smooth
                 b_ref, w_ref = rest[0], rest[1]
-                out_ref[s] = p + omega * w_ref[s] * (b_ref[s] - sp)
+                out_ref[s] = (
+                    p + omega * w_ref[s] * (b_ref[s] - sp)
+                ).astype(dtype)
 
     n_extra = {"apply": 0, "residual": 1, "smooth": 2}[mode]
     call = pl.pallas_call(
@@ -468,11 +496,12 @@ def _build_poisson_3d(level, *, mode="apply", omega=0.8,
         tile_slabs=tile_slabs, interpret=interpret,
     )
 
-    a0 = jnp.asarray(A0, dtype)                     # (3, N0)
-    h0j = jnp.asarray(H0, dtype)                    # (N0,)
-    w1 = jnp.asarray(W1, dtype)
-    w2 = jnp.asarray(W2, dtype)
-    h12 = jnp.asarray(H12, dtype)
+    cdt = _coef_dtype(dtype)
+    a0 = jnp.asarray(A0, cdt)                       # (3, N0)
+    h0j = jnp.asarray(H0, cdt)                      # (N0,)
+    w1 = jnp.asarray(W1, cdt)
+    w2 = jnp.asarray(W2, cdt)
+    h12 = jnp.asarray(H12, cdt)
 
     def lr_edges(p):
         if per1:
@@ -553,16 +582,16 @@ def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,
         rows = jax.lax.broadcasted_iota(jnp.int32, (TM, N1), 0)
 
         def xshifts(p, ue, de):
-            up = pltpu.roll(p[...], 1, 0)
-            dn = pltpu.roll(p[...], TM - 1, 0)
+            up = _roll(p[...], 1, 0)
+            dn = _roll(p[...], TM - 1, 0)
             up = jnp.where(rows == 0, ue[0], up)
             dn = jnp.where(rows == TM - 1, de[0], dn)
             return up, dn
 
         def yshifts(p):
             return (
-                pltpu.roll(p[...], 1, 1),
-                pltpu.roll(p[...], N1 - 1, 1),
+                _roll(p[...], 1, 1),
+                _roll(p[...], N1 - 1, 1),
             )
 
         uu = u[...]
@@ -572,14 +601,14 @@ def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,
         u_l, u_r = yshifts(u)
         v_l, v_r = yshifts(v)
         # +-2 shifts (boundary-row one-sided terms only)
-        u_up2 = pltpu.roll(uu, 2, 0)
-        u_dn2 = pltpu.roll(uu, TM - 2, 0)
-        v_up2 = pltpu.roll(vv, 2, 0)
-        v_dn2 = pltpu.roll(vv, TM - 2, 0)
-        u_l2 = pltpu.roll(uu, 2, 1)
-        u_r2 = pltpu.roll(uu, N1 - 2, 1)
-        v_l2 = pltpu.roll(vv, 2, 1)
-        v_r2 = pltpu.roll(vv, N1 - 2, 1)
+        u_up2 = _roll(uu, 2, 0)
+        u_dn2 = _roll(uu, TM - 2, 0)
+        v_up2 = _roll(vv, 2, 0)
+        v_dn2 = _roll(vv, TM - 2, 0)
+        u_l2 = _roll(uu, 2, 1)
+        u_r2 = _roll(uu, N1 - 2, 1)
+        v_l2 = _roll(vv, 2, 1)
+        v_r2 = _roll(vv, N1 - 2, 1)
 
         out_u[...] = (
             w[0] * u_up + w[1] * uu + w[2] * u_dn
@@ -745,7 +774,9 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
     if N0 < 8 or N1 % 8 or N2 % 128:
         raise ValueError("momentum3d kernel: unaligned grid")
 
-    plane = N1 * N2 * np.dtype(np.float32).itemsize
+    # VMEM model in the KERNEL dtype: bf16 planes are half-size, so
+    # the full fusion often fits where f32 must split
+    plane = N1 * N2 * np.dtype(dtype).itemsize
 
     def tm_for(nbig, nfixed):
         # nbig blocked big refs (double-buffered) + nfixed edge/patch
@@ -771,9 +802,10 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
     ntiles = N0 // TM
 
     B0, B1, B2 = build_momentum_bands_3d(mesh, axbcs, rho, mu, dt)
-    b0 = jnp.asarray(B0, dtype)   # SMEM (27, N0)
-    b1 = jnp.asarray(B1, dtype)   # VMEM (27, N1)
-    b2 = jnp.asarray(B2, dtype)   # VMEM (27, N2)
+    band_dt = _coef_dtype(dtype)
+    b0 = jnp.asarray(B0, band_dt)   # SMEM (27, N0)
+    b1 = jnp.asarray(B1, band_dt)   # VMEM (27, N1)
+    b2 = jnp.asarray(B2, band_dt)   # VMEM (27, N2)
 
     # Band-content-driven skipping: every roll/patch whose
     # coefficients are identically zero for this grid/BC combination
@@ -833,12 +865,12 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
             def hi1(lo, patch):
                 # axis-1 high factor: shift -1 on sublanes; last-row
                 # patch only when its coeffs can be nonzero there
-                r = pltpu.roll(lo, N1 - 1, 0)
+                r = _roll(lo, N1 - 1, 0)
                 return jnp.where(lastrow, patch, r) \
                     if need_patch1 else r
 
             def hi2(lo, patch):
-                r = pltpu.roll(lo, N2 - 1, 1)
+                r = _roll(lo, N2 - 1, 1)
                 return jnp.where(lastcol, patch, r) \
                     if need_patch2 else r
 
@@ -860,7 +892,7 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
                     if key not in roll_cache:
                         sh = {"1m": (1, 0), "1p": (N1 - 1, 0),
                               "2m": (1, 1), "2p": (N2 - 1, 1)}[kind]
-                        roll_cache[key] = pltpu.roll(P[e], *sh)
+                        roll_cache[key] = _roll(P[e], *sh)
                     return roll_cache[key]
 
                 # face factors at this slab: lo directly, hi derived
@@ -957,20 +989,20 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
                            + w1(_mom3d_L(c, 0)) * P[c]
                            + w1(_mom3d_L(c, 1)) * rolled("1p", c))
                     if l2m_used[c]:
-                        acc = acc + w1(_mom3d_L(c, -2)) * pltpu.roll(
+                        acc = acc + w1(_mom3d_L(c, -2)) * _roll(
                             P[c], 2, 0)
                     if l2p_used[c]:
-                        acc = acc + w1(_mom3d_L(c, 2)) * pltpu.roll(
+                        acc = acc + w1(_mom3d_L(c, 2)) * _roll(
                             P[c], N1 - 2, 0)
                     acc = (acc
                            + w2(_mom3d_L(c, -1)) * rolled("2m", c)
                            + w2(_mom3d_L(c, 0)) * P[c]
                            + w2(_mom3d_L(c, 1)) * rolled("2p", c))
                     if k2m_used[c]:
-                        acc = acc + w2(_mom3d_L(c, -2)) * pltpu.roll(
+                        acc = acc + w2(_mom3d_L(c, -2)) * _roll(
                             P[c], 2, 1)
                     if k2p_used[c]:
-                        acc = acc + w2(_mom3d_L(c, 2)) * pltpu.roll(
+                        acc = acc + w2(_mom3d_L(c, 2)) * _roll(
                             P[c], N2 - 2, 1)
 
                     # convection, axis 0
@@ -997,7 +1029,7 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
                         acc = (acc + FlU2 * sum2(w2, 0, 0, c)
                                + FrU2 * sum2(w2, 0, 1, c))
 
-                    OUT[ci][s] = acc
+                    OUT[ci][s] = acc.astype(dtype)
 
         return kernel
 
