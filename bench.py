@@ -31,7 +31,12 @@ PERF_BANDS = {
     "roofline_frac": 0.85,             # r2: 0.938, r3: 0.918
     "cavity2d_256_steps_per_sec": 350,  # r2: 392.6, r3: 395.9
     "cavity3d_64_steps_per_sec": 74,    # r2: 82.1, r3: 80.4
-    "channel3d_128_steps_per_sec": 13,  # r2: 14.68, r3: 14.64
+    # r4: fixed-trip solver forms took the production step
+    # 14.5 -> 18.0 steps/s; the bf16 ABF preconditioner -> 25.3; the
+    # GCR-outer fast path (r3's diverged richardson fixed) -> 32.7
+    "channel3d_128_steps_per_sec": 16,       # r4: 18.04
+    "channel3d_128_bf16_steps_per_sec": 22,  # r4: 25.26
+    "channel3d_128_fast_steps_per_sec": 28,  # r4: 32.71
     "channel512_steps_per_sec": 0.45,   # r3: 0.556 (BASELINE #5 size)
 }
 
@@ -175,6 +180,9 @@ def main():
             extra["channel3d_128_steps_per_sec"] = round(
                 channel_throughput(N=128, steps=30), 2
             )
+            extra["channel3d_128_bf16_steps_per_sec"] = round(
+                channel_throughput(N=128, steps=30, bf16=True), 2
+            )
             extra["channel3d_128_fast_steps_per_sec"] = round(
                 channel_throughput(N=128, steps=30, fast=True), 2
             )
@@ -264,13 +272,17 @@ def cavity3d_throughput(N=(64, 64, 32), steps=30):
     return _advance_throughput(ns, steps)
 
 
-def channel_throughput(N=128, steps=30, fast=False):
+def channel_throughput(N=128, steps=30, fast=False, bf16=False):
     """Turbulent-channel config 128^3 timesteps/sec (the 3-D
-    full-step bandwidth story; STATUS.md perf item). fast=True uses
-    the production_fast preset (Richardson + Jacobi + V-cycle, same
-    fixed budgets, accuracy pinned by tests/test_fastpath.py): the
-    128^3 step is dominated by the momentum bicgstab8 (9.7 ms of each
-    ~21 ms outer, examples/profile128.py), which Jacobi halves."""
+    full-step bandwidth story; STATUS.md perf item).
+
+    fast=True: the production_fast preset (GCR outer + Jacobi
+    momentum + V-cycle Schur — the r4 GCR outer keeps it bounded at
+    any CFL where the r3 Richardson outer diverged;
+    tests/test_fastpath.py).
+    bf16=True: production with the bf16 ABF preconditioner
+    (TUNE_BUDGET_TPU.json pins its accuracy against the converged
+    solve)."""
     import jax.numpy as jnp
 
     from fluca_tpu.models.channel import setup_channel_3d
@@ -278,8 +290,11 @@ def channel_throughput(N=128, steps=30, fast=False):
 
     ns = setup_channel_3d(N=(N, N, N), dt=2e-3, max_steps=10**9,
                           dtype=jnp.float32)
-    ns.impl.cfg = (CNLinearConfig.production_fast() if fast
-                   else CNLinearConfig.production())
+    cfg = (CNLinearConfig.production_fast() if fast
+           else CNLinearConfig.production())
+    if bf16:
+        cfg.precond_dtype = "bfloat16"
+    ns.impl.cfg = cfg
     return _advance_throughput(ns, steps)
 
 

@@ -245,20 +245,58 @@ class CNLinearSolver:
         sharded: solvers.mg.set_device_grid rebuilds them as shard_map
         programs with ppermute halo edges (parallel/pallas_sharded),
         preserving the reference's decomposition-invariant hot path
-        (cnlinearcart2d.c:618-622). The momentum coefficient-field
-        kernels are not yet shard_map-wrapped; sharded runs use the
-        XLA coefficient path for the momentum block."""
+        (cnlinearcart2d.c:618-622). The fused 3-D momentum A-apply is
+        likewise rebuilt as a shard_map program
+        (build_momentum_sharded, r4 — previously sharded runs forfeit
+        the biggest 3-D kernel win to the XLA coefficient path); the
+        2-D stacked kernel and the chain kernels remain
+        single-device-only."""
         self.grid = grid
         self._step_jit = {}
+        self._pre16 = None
         if grid is not None:
             if grid.mesh.devices.size > 1:
                 self.ops._mom_kernel = None
-                self.ops._mom_kernel3d = None
                 self.ops._chain3d = None
+                if self.ops._mom_kernel3d is not None:
+                    try:
+                        from fluca_tpu.parallel.pallas_sharded import (
+                            build_momentum_sharded,
+                        )
+
+                        self.ops._mom_kernel3d = (
+                            build_momentum_sharded(
+                                grid, self.mesh, self.ops.axbcs,
+                                self.rho, self.mu, self.dt,
+                                self.dtype,
+                            )
+                        )
+                    except Exception:
+                        self.ops._mom_kernel3d = None
             # degenerate 1-device grid: sharding is trivial, every
             # kernel stays live (no-regression guarantee for
             # -parallel_grid 1[,1,1]; VERDICT r2 item 1)
             self.mg.set_device_grid(grid)
+        else:
+            # restore the single-device kernels (they may have been
+            # replaced by shard_map wrappers above)
+            if self.ops.dim == 3:
+                try:
+                    from fluca_tpu.ops.pallas_stencil import (
+                        build_momentum_apply_3d,
+                        pallas_available,
+                    )
+
+                    if pallas_available():
+                        self.ops._mom_kernel3d = (
+                            build_momentum_apply_3d(
+                                self.mesh, self.ops.axbcs, self.rho,
+                                self.mu, self.dt, self.dtype,
+                            )
+                        )
+                except Exception:
+                    self.ops._mom_kernel3d = None
+            self.mg.set_device_grid(None)
 
     def _constrain(self, state):
         if self.grid is None:

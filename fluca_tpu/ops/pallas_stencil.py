@@ -748,40 +748,40 @@ def build_momentum_bands_3d(mesh, axbcs, rho, mu, dt):
     return out
 
 
-def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
-                            *, tile_slabs=8, interpret=False,
-                            force_split=False):
-    """Returns (prep, apply):
-      factors = prep(U0, v0f)   -- once per step (inside the jitted
-                                   step program)
-      Av      = apply(v, factors)
+def momentum3d_raw_calls(N0, N1, N2, periodic, B0, B1, B2, dtype, *,
+                         tile_slabs=8, interpret=False,
+                         force_split=False, halo=(False, False)):
+    """Bare pallas_calls for the fused 3-D momentum A-apply, shared
+    by the single-device and shard_map paths.
 
-    Two fusion modes, chosen by the VMEM model:
-      - full: one kernel writes all 3 components (18 big streams,
-        ~36 live planes/slab) — the fastest form, needs a small
-        cross-section (up to ~128x256 f32).
-      - split: one kernel PER component (10 big streams each, ~20
-        live planes) — 30/21 more HBM traffic, but fits the
-        256x256 cross-section of the BASELINE #5 channel where the
-        full fusion VMEM-clamps (VERDICT r3 item 2: no
-        size-conditional XLA fallback on the hot path).
+    (N0, N1, N2) are the KERNEL (local-block) dims; B0/B1/B2 are the
+    band arrays whose CONTENT drives compile-time term skipping (the
+    global bands under sharding — a term live anywhere must be live
+    in the one program all shards share). ``halo=(h1, h2)``: the
+    in-plane axis-1/axis-2 rolls cross shard boundaries, so the
+    kernel takes extra per-V-field neighbor column/row patch inputs
+    (VL1/VR1, VL2/VR2, appended after the standard refs) and ALWAYS
+    patches the factor hi-rolls — the decomposition-invariant form
+    (reference anchor: identical sweeps on 1 and N ranks,
+    cnlinearcart2d.c:618-622).
 
-    Raises ValueError when the grid does not fit either mode's
-    alignment/VMEM constraints (callers fall back to the XLA path).
+    Returns (calls, split, TM, ntiles): calls = [full] or three
+    per-component kernels (VMEM-driven; see build_momentum_apply_3d).
     """
-    N0, N1, N2 = mesh.N
-    per = mesh.periodic
+    per = periodic
+    h1, h2 = halo
     if N0 < 8 or N1 % 8 or N2 % 128:
         raise ValueError("momentum3d kernel: unaligned grid")
 
     # VMEM model in the KERNEL dtype: bf16 planes are half-size, so
     # the full fusion often fits where f32 must split
     plane = N1 * N2 * np.dtype(dtype).itemsize
+    n_halo = (6 if h1 else 0) + (6 if h2 else 0)  # sliver planes
 
     def tm_for(nbig, nfixed):
         # nbig blocked big refs (double-buffered) + nfixed edge/patch
         # planes + roll temporaries
-        budget = (14 << 20) - nfixed * plane
+        budget = (14 << 20) - (nfixed + n_halo) * plane
         return budget // (2 * nbig * plane)
 
     # full fusion: 18 blocked big refs + ~42 fixed planes
@@ -801,12 +801,6 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
         TM -= 1
     ntiles = N0 // TM
 
-    B0, B1, B2 = build_momentum_bands_3d(mesh, axbcs, rho, mu, dt)
-    band_dt = _coef_dtype(dtype)
-    b0 = jnp.asarray(B0, band_dt)   # SMEM (27, N0)
-    b1 = jnp.asarray(B1, band_dt)   # VMEM (27, N1)
-    b2 = jnp.asarray(B2, band_dt)   # VMEM (27, N2)
-
     # Band-content-driven skipping: every roll/patch whose
     # coefficients are identically zero for this grid/BC combination
     # is elided at trace time (e.g. periodic axes have no one-sided
@@ -824,12 +818,14 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
     k2p_used = [_nz(B2, _mom3d_L(c, 2)) for c in range(3)]
     conv_rows = [_mom3d_CV(var, 1, off)
                  for var in (0, 1) for off in (-1, 0, 1)]
-    need_patch1 = (not per[1]) and any(
-        _nz(B1, r, N1 - 1) for r in conv_rows
-    )
-    need_patch2 = (not per[2]) and any(
-        _nz(B2, r, N2 - 1) for r in conv_rows
-    )
+    gN1 = B1.shape[1]  # global extent (flags use global content)
+    gN2 = B2.shape[1]
+    need_patch1 = h1 or ((not per[1]) and any(
+        _nz(B1, r, gN1 - 1) for r in conv_rows
+    ))
+    need_patch2 = h2 or ((not per[2]) and any(
+        _nz(B2, r, gN2 - 1) for r in conv_rows
+    ))
 
     def make_kernel(comps):
         ncomp = len(comps)
@@ -847,6 +843,13 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
             FE0 = refs[i:i + 1 + ncomp]; i += 1 + ncomp  # ax-0 hi edges
             PA1 = refs[i:i + 1 + ncomp]; i += 1 + ncomp  # ax-1 patches
             PA2 = refs[i:i + 1 + ncomp]; i += 1 + ncomp  # ax-2 patches
+            VL1 = VR1 = VL2 = VR2 = None
+            if h1:
+                VL1 = refs[i:i + 3]; i += 3  # (TM,1,N2) low-nb rows
+                VR1 = refs[i:i + 3]; i += 3  # high-neighbor rows
+            if h2:
+                VL2 = refs[i:i + 3]; i += 3  # (TM,N1,1) low-nb cols
+                VR2 = refs[i:i + 3]; i += 3
             OUT = refs[i:i + ncomp]
 
             def fv(d, c):
@@ -892,7 +895,21 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
                     if key not in roll_cache:
                         sh = {"1m": (1, 0), "1p": (N1 - 1, 0),
                               "2m": (1, 1), "2p": (N2 - 1, 1)}[kind]
-                        roll_cache[key] = _roll(P[e], *sh)
+                        r = _roll(P[e], *sh)
+                        # shard-halo patches: the in-plane roll wraps
+                        # at the SHARD boundary where coefficients
+                        # are nonzero, so substitute the ppermuted
+                        # neighbor row/column (zeros at global
+                        # non-periodic boundaries)
+                        if h1 and kind == "1m":
+                            r = jnp.where(rows == 0, VL1[e][s], r)
+                        elif h1 and kind == "1p":
+                            r = jnp.where(lastrow, VR1[e][s], r)
+                        elif h2 and kind == "2m":
+                            r = jnp.where(cols == 0, VL2[e][s], r)
+                        elif h2 and kind == "2p":
+                            r = jnp.where(lastcol, VR2[e][s], r)
+                        roll_cache[key] = r
                     return roll_cache[key]
 
                 # face factors at this slab: lo directly, hi derived
@@ -1062,6 +1079,8 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
                 + [fixplane] * (2 * ncomp)         # p2/m2
                 + [edge] * (1 + ncomp)             # FE0
                 + [pa1] * (1 + ncomp) + [pa2] * (1 + ncomp)
+                + ([pa1] * 6 if h1 else [])        # VL1/VR1
+                + ([pa2] * 6 if h2 else [])        # VL2/VR2
             ),
             out_specs=tuple(big for _ in range(ncomp)),
             interpret=interpret,
@@ -1077,6 +1096,42 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
         [make_call((0, 1, 2))] if not split
         else [make_call((c,)) for c in range(3)]
     )
+    return calls, split, TM, ntiles
+
+
+def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
+                            *, tile_slabs=8, interpret=False,
+                            force_split=False):
+    """Returns (prep, apply):
+      factors = prep(U0, v0f)   -- once per step (inside the jitted
+                                   step program)
+      Av      = apply(v, factors)
+
+    Two fusion modes, chosen by the VMEM model:
+      - full: one kernel writes all 3 components (18 big streams,
+        ~36 live planes/slab) — the fastest form, needs a small
+        cross-section (up to ~128x256 f32).
+      - split: one kernel PER component (10 big streams each, ~20
+        live planes) — 30/21 more HBM traffic, but fits the
+        256x256 cross-section of the BASELINE #5 channel where the
+        full fusion VMEM-clamps (VERDICT r3 item 2: no
+        size-conditional XLA fallback on the hot path).
+
+    Raises ValueError when the grid does not fit either mode's
+    alignment/VMEM constraints (callers fall back to the XLA path).
+    """
+    N0, N1, N2 = mesh.N
+    per = mesh.periodic
+    B0, B1, B2 = build_momentum_bands_3d(mesh, axbcs, rho, mu, dt)
+    calls, split, TM, ntiles = momentum3d_raw_calls(
+        N0, N1, N2, per, B0, B1, B2, dtype,
+        tile_slabs=tile_slabs, interpret=interpret,
+        force_split=force_split,
+    )
+    band_dt = _coef_dtype(dtype)
+    b0 = jnp.asarray(B0, band_dt)   # SMEM (27, N0)
+    b1 = jnp.asarray(B1, band_dt)   # VMEM (27, N1)
+    b2 = jnp.asarray(B2, band_dt)   # VMEM (27, N2)
 
     def lo_and_hilast(F, a):
         """Cell-shaped lo slice of face array F along axis a, plus the

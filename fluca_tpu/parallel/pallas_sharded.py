@@ -26,6 +26,9 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from fluca_tpu.ops.pallas_stencil import (
+    _coef_dtype,
+    build_momentum_bands_3d,
+    momentum3d_raw_calls,
     poisson2d_coeffs,
     poisson2d_raw_call,
     poisson2d_tile_edges,
@@ -172,3 +175,197 @@ def build_poisson_sharded(grid, level, *, mode="apply", omega=0.8,
     return jax.jit(
         lambda p, b, w: mapped(p, a0, h0, w1, w2, h12, b, w)
     )
+
+
+def build_momentum_sharded(grid, mesh, axbcs, rho, mu, dt, dtype, *,
+                          interpret=False):
+    """Sharded fused 3-D momentum A-apply: (prep, apply) running the
+    momentum kernel per shard under shard_map with ppermute halo
+    edges for all three axes (VERDICT r3 item 5 — previously
+    set_device_grid nulled the momentum kernels and a multi-chip run
+    forfeited the single biggest 3-D kernel win). The kernel binary
+    is the same decomposition-invariant form as the single-device
+    path; only the edge/patch filling differs (reference anchor:
+    cnlinearcart2d.c:618-622).
+
+    Raises ValueError when the grid does not decompose the mesh
+    evenly or a local block misses the kernel's alignment
+    constraints (callers fall back to the XLA/GSPMD banded path).
+    """
+    assert mesh.dim == 3
+    shards = grid_shards(grid)
+    N = mesh.N
+    per = mesh.periodic
+    for d in range(3):
+        if N[d] % shards[d]:
+            raise ValueError(
+                f"mesh {N} not divisible by device grid {shards}"
+            )
+    Nl = tuple(N[d] // shards[d] for d in range(3))
+    h1 = shards[1] > 1
+    h2 = shards[2] > 1
+    B0, B1, B2 = build_momentum_bands_3d(mesh, axbcs, rho, mu, dt)
+    calls, split, TM, ntiles = momentum3d_raw_calls(
+        Nl[0], Nl[1], Nl[2], per, B0, B1, B2, dtype,
+        interpret=interpret, halo=(h1, h2),
+    )
+    band_dt = _coef_dtype(dtype)
+    b0 = jnp.asarray(B0, band_dt)
+    b1 = jnp.asarray(B1, band_dt)
+    b2 = jnp.asarray(B2, band_dt)
+    ax0, ax1, ax2 = grid.axis_names
+    N0l, N1l, N2l = Nl
+
+    def prep(U0, v0f):
+        """Global (GSPMD-sharded) factor fields: lo slices plus the
+        global hi-boundary planes per axis; the per-shard edge/patch
+        buffers are derived inside the shard_map body."""
+
+        def lo_and_hilast(F, a):
+            if per[a]:
+                return F.astype(dtype), jax.lax.index_in_dim(
+                    F, 0, axis=a
+                ).astype(dtype)
+            n = mesh.N[a]
+            return (
+                lax.slice_in_dim(F, 0, n, axis=a).astype(dtype),
+                jax.lax.index_in_dim(F, n, axis=a).astype(dtype),
+            )
+
+        lo, hl = {}, {}
+        for a in range(3):
+            srcs = [U0[a]] + [v0f[a][c] for c in range(3)]
+            lo[a], hl[a] = zip(*(lo_and_hilast(F, a) for F in srcs))
+        return {
+            "FU": (lo[0][0], lo[1][0], lo[2][0]),
+            "FV": tuple(lo[0][1:]) + tuple(lo[1][1:])
+            + tuple(lo[2][1:]),
+            "HL0": tuple(hl[0]),
+            "HL1": tuple(hl[1]),
+            "HL2": tuple(hl[2]),
+        }
+
+    def tile_edges_local(x):
+        x4 = x.reshape(ntiles, TM, N1l, N2l)
+        ue = jnp.zeros((ntiles, N1l, N2l), dtype)
+        de = jnp.zeros((ntiles, N1l, N2l), dtype)
+        if ntiles > 1:
+            ue = ue.at[1:].set(x4[:-1, TM - 1])
+            de = de.at[:-1].set(x4[1:, 0])
+        return ue, de
+
+    def fe0_local(lo, hilast_eff):
+        lo4 = lo.reshape(ntiles, TM, N1l, N2l)
+        return jnp.concatenate(
+            [lo4[1:, 0], hilast_eff.reshape(1, N1l, N2l)], axis=0
+        )
+
+    def body(b0l, b1l, b2l, *arrs):
+        v = arrs[0:3]
+        fu = arrs[3:6]
+        fvs = arrs[6:15]
+        hl0 = arrs[15:19]
+        hl1 = arrs[19:23]
+        hl2 = arrs[23:27]
+        lo0 = (fu[0],) + fvs[0:3]
+        lo1 = (fu[1],) + fvs[3:6]
+        lo2 = (fu[2],) + fvs[6:9]
+
+        idx0 = lax.axis_index(ax0)
+        n0 = lax.axis_size(ax0)
+        last0 = idx0 == n0 - 1
+        idx1 = lax.axis_index(ax1)
+        n1 = lax.axis_size(ax1)
+        last1 = idx1 == n1 - 1
+        idx2 = lax.axis_index(ax2)
+        n2 = lax.axis_size(ax2)
+        last2 = idx2 == n2 - 1
+
+        # v edges: within-shard tile edges + cross-shard ppermute
+        ue, de = [], []
+        for x in v:
+            u, d = tile_edges_local(x)
+            up, dn = _neighbor_slabs(x, 0, ax0, per[0])
+            u = u.at[0].set(up[0])
+            d = d.at[ntiles - 1].set(dn[0])
+            ue.append(u)
+            de.append(d)
+        p2 = tuple(x[2:3] for x in v)
+        m2 = tuple(x[N0l - 3:N0l - 2] for x in v)
+
+        # axis-0 hi edges for the 4 axis-0 lo-factor fields: within
+        # the shard, the next tile's first plane; at the shard's top,
+        # the neighbor's first plane (ppermute) or — on the global
+        # top shard — the true hi-boundary plane
+        fe0 = []
+        for lo, hl in zip(lo0, hl0):
+            _, from_high = _neighbor_slabs(lo, 0, ax0, per[0])
+            hilast_eff = jnp.where(last0, hl, from_high)
+            fe0.append(fe0_local(lo, hilast_eff))
+        # axis-1/2 hi patches for the factor hi-rolls
+        pa1 = []
+        for lo, hl in zip(lo1, hl1):
+            _, from_high = _neighbor_slabs(lo, 1, ax1, per[1])
+            pa1.append(jnp.where(last1, hl, from_high))
+        pa2 = []
+        for lo, hl in zip(lo2, hl2):
+            _, from_high = _neighbor_slabs(lo, 2, ax2, per[2])
+            pa2.append(jnp.where(last2, hl, from_high))
+        # v in-plane halo columns/rows (only when the axis is
+        # actually sharded — the kernel was built to match)
+        vl1 = vr1 = vl2 = vr2 = ()
+        if h1:
+            vl1, vr1 = zip(*(
+                _neighbor_slabs(x, 1, ax1, per[1]) for x in v
+            ))
+        if h2:
+            vl2, vr2 = zip(*(
+                _neighbor_slabs(x, 2, ax2, per[2]) for x in v
+            ))
+
+        if not split:
+            return calls[0](
+                b0l, b1l, b2l,
+                *v, *fu, *fvs,
+                *ue, *de, *p2, *m2,
+                *fe0, *pa1, *pa2,
+                *vl1, *vr1, *vl2, *vr2,
+            )
+        outs = []
+        for c in range(3):
+            fv_c = tuple(fvs[3 * d + c] for d in range(3))
+            (out_c,) = calls[c](
+                b0l, b1l, b2l,
+                *v, *fu, *fv_c,
+                *ue, *de, p2[c], m2[c],
+                fe0[0], fe0[1 + c],
+                pa1[0], pa1[1 + c],
+                pa2[0], pa2[1 + c],
+                *vl1, *vr1, *vl2, *vr2,
+            )
+            outs.append(out_c)
+        return tuple(outs)
+
+    data = P(ax0, ax1, ax2)
+    in_specs = (
+        (P(None, ax0), P(None, ax1), P(None, ax2))  # bands
+        + (data,) * 3                               # v
+        + (data,) * 3                               # FU lo
+        + (data,) * 9                               # FV lo
+        + (P(None, ax1, ax2),) * 4                  # HL0
+        + (P(ax0, None, ax2),) * 4                  # HL1
+        + (P(ax0, ax1, None),) * 4                  # HL2
+    )
+    mapped = jax.shard_map(
+        body, mesh=grid.mesh, in_specs=in_specs,
+        out_specs=(data, data, data), check_vma=False,
+    )
+
+    def apply(v, factors):
+        v = tuple(x.astype(dtype) for x in v)
+        return mapped(
+            b0, b1, b2, *v, *factors["FU"], *factors["FV"],
+            *factors["HL0"], *factors["HL1"], *factors["HL2"],
+        )
+
+    return prep, apply

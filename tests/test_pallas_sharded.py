@@ -117,3 +117,67 @@ def test_mg_set_device_grid_sharded_vcycle():
 
     mg.set_device_grid(None, interpret=None)  # CPU: kernels cleared
     assert mg.levels[0].pallas_apply is None
+
+
+@pytest.mark.parametrize("periodic", [(True, False, True),
+                                      (False, False, False)])
+def test_momentum_sharded_matches_xla(periodic):
+    """Sharded fused momentum A-apply (shard_map + ppermute halo
+    edges for all three axes) vs the XLA banded apply on a 2x2x2
+    virtual grid — VERDICT r3 item 5: the momentum block must be
+    decomposition-invariant like the Poisson kernels. N2=256 so the
+    local lane extent (128) meets the kernel alignment."""
+    from fluca_tpu.ns import tables as T_
+    from fluca_tpu.ns.operators import NSOperators
+    from fluca_tpu.parallel.pallas_sharded import (
+        build_momentum_sharded,
+    )
+
+    N = (16, 16, 256)
+    m = CartMesh.create(N, periodic)
+    faces = []
+    for n in N:
+        f = np.linspace(0.0, 1.0, n + 1)
+        faces.append(f + 0.15 * (f - f**2))  # non-uniform
+    m.set_coordinates(*faces)
+    bcs = []
+    for d in range(3):
+        bc = (
+            BoundaryCondition(BCType.PERIODIC)
+            if m.periodic[d]
+            else zero_velocity_bc()
+        )
+        bcs += [bc, bc]
+    dtype = jnp.float64
+    rho, mu, dt = 1.3, 0.02, 0.01
+    ops = NSOperators(m, bcs, rho=rho, mu=mu, dt=dt, dtype=dtype)
+    axbcs = T_.axis_bcs(m, bcs)
+    grid = make_device_grid(3, jax.devices()[:8])
+    prep, papply = build_momentum_sharded(
+        grid, m, axbcs, rho, mu, dt, dtype, interpret=True
+    )
+
+    rng = np.random.default_rng(11)
+    v = tuple(
+        jnp.asarray(rng.standard_normal(m.cell_shape), dtype)
+        for _ in range(3)
+    )
+    U0 = tuple(
+        jnp.asarray(rng.standard_normal(m.face_shape(d)), dtype)
+        for d in range(3)
+    )
+    v0f = tuple(
+        tuple(
+            jnp.asarray(rng.standard_normal(m.face_shape(d)), dtype)
+            for _ in range(3)
+        )
+        for d in range(3)
+    )
+    ref = ops.apply_A(v, U0, v0f)
+    got = papply(v, prep(U0, v0f))
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(got[c]), np.asarray(ref[c]),
+            rtol=0, atol=1e-12,
+        )
+    assert not got[0].sharding.is_fully_replicated

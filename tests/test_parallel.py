@@ -139,13 +139,16 @@ def test_sharded_step_collective_counts():
     # halo exchanges ride collective-permute; Krylov dots / mean
     # projections ride all-reduce; all-gather only appears for the
     # tiny MG coarse levels below the shardable size. Bounds are
-    # measured+10% on the production preset (o3/m8/s6): cp=245,
-    # ar=26, ag=68 (2026-08-20) — update deliberately if the solver
-    # structure changes.
+    # measured+10% on the production preset (o3/m8/s6). r4 note:
+    # production's solvers are now PYTHON-UNROLLED (fixed-trip
+    # cg/bicgstab/gcr), so the static program count IS the true
+    # per-step collective count — the r3 while_loop forms showed
+    # cp=245 in the program text but executed each body ~8x.
+    # Measured 2026-08-21: cp=1347, ar=314, ag=38.
     assert n_cp > 0 and n_ar > 0
-    assert n_cp <= 270, f"collective-permute count grew: {n_cp}"
-    assert n_ar <= 29, f"all-reduce count grew: {n_ar}"
-    assert n_ag <= 75, f"all-gather count grew: {n_ag}"
+    assert n_cp <= 1480, f"collective-permute count grew: {n_cp}"
+    assert n_ar <= 350, f"all-reduce count grew: {n_ar}"
+    assert n_ag <= 45, f"all-gather count grew: {n_ag}"
     print(f"collectives: cp={n_cp} ar={n_ar} ag={n_ag}")
 
 
