@@ -111,7 +111,14 @@ class CNLinearConfig:
     # changes the contraction rate, never the converged answer — the
     # coupled residual, outer dots and solution updates all stay in
     # the solver dtype. On TPU this halves the HBM traffic of the
-    # dominant inner-solve passes (the whole point of bf16 hardware).
+    # dominant inner-solve passes (the whole point of bf16 hardware):
+    # channel 128^3 production step 18.0 -> 25.3 steps/s (TUNE128).
+    # Accuracy trade (measured, TUNE_BUDGET_TPU.json): at fixed o3
+    # budgets the per-step residual is ~5x looser than the f32
+    # preconditioner and the 50-step cavity-128^2 deviation from the
+    # converged solve is ~9e-3 U (vs the 2e-4 U production pin) —
+    # use it where that is acceptable (throughput studies, long
+    # statistical runs), not as the default production path.
     # None = inner solves in the solver dtype (reference semantics).
     precond_dtype: str | None = None
     # which inner solves run reduced-precision: "both" or "mom"
