@@ -61,6 +61,11 @@ def main():
         perturb=0.2, dtype=jnp.float32,
     )
     cfg = CNLinearConfig.production()
+    # bf16 preconditioning is NOT usable here: on the wall-clustered
+    # (anisotropic) grid the bf16 V-cycle is too weak and the
+    # fixed-budget solve returns x ~ 0 — the mean flow itself decays
+    # (observed r4: u_tau -> 2e-4 within t=10). Opt-in kept for
+    # experiments only.
     if os.environ.get("FLUCA_TPU_TURB_BF16") == "1":
         cfg.precond_dtype = "bfloat16"
     ns.impl.cfg = cfg
@@ -94,6 +99,14 @@ def main():
             prof_n += 1
         if not np.isfinite(E):
             print("DIVERGED", flush=True)
+            break
+        if t >= 2.0 and u_tau < 0.3:
+            # mean-flow collapse guard: the forcing balance pins
+            # u_tau ~ 1; a near-zero wall gradient means the solver
+            # is returning ~zero corrections (preconditioner too
+            # weak for the budget), not physics
+            print("COLLAPSED (u_tau ~ 0): solver under-resolving",
+                  flush=True)
             break
 
     Umean = (prof_acc / max(prof_n, 1)) if prof_acc is not None \

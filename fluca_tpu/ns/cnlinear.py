@@ -391,12 +391,27 @@ class CNLinearSolver:
         def M(r):
             return tuple(inv_diag[c] * r[c] for c in range(ops.dim))
 
-        if self.cfg.converged_skip and self.cfg.mom_rtol <= 1e-20:
-            # fixed-budget mode: the while_loop could never exit
-            # early at rtol 1e-30 — the unrolled form is the same
-            # iteration without the per-step scalar cond sync
-            # (PROFILE128.json: ~29 ms of while-loop overhead in the
-            # 128^3 production step)
+        use_fixed = (
+            self.cfg.converged_skip
+            and self.cfg.mom_rtol <= 1e-20
+            and (
+                applyA is not None  # reduced-precision path: the
+                # while forms mix f32 scalars into the carry and
+                # fail to trace in bf16
+                or ops.has_momentum_kernel
+                or ops.has_momentum_kernel3d
+            )
+        )
+        if use_fixed:
+            # fixed-budget mode with a FUSED A-apply: the while_loop
+            # could never exit early at rtol 1e-30 — the unrolled
+            # form is the same iteration without the per-step scalar
+            # cond sync (channel 128^3: 14.5 -> 18.0 steps/s,
+            # PROFILE128/TUNE128). When the A-apply is the XLA
+            # banded path (no Pallas kernel: unaligned grids, CPU),
+            # unrolling explodes the HLO graph instead and the
+            # while form wins big (cavity 64x64x32: 80 vs 17
+            # steps/s, TUNE_CAVITY3D.json) — hence the kernel gate.
             return bicgstab_fixed(
                 A, rhs_v, self.cfg.mom_maxiter, M=M
             ).x
@@ -462,10 +477,19 @@ class CNLinearSolver:
                 p = p + mg.precondition(r)
             return proj(p) if proj else p
         if ainv1 is None:
-            if (
+            # unrolled form only when the level-0 kernels are fused
+            # (same HLO-graph-explosion gate as _solve_momentum), or
+            # always on the reduced-precision hierarchy (the while
+            # form cannot carry bf16 state)
+            use_fixed = (
                 self.cfg.converged_skip
                 and self.cfg.schur_rtol <= 1e-20
-            ):
+                and (
+                    mg is not self.mg
+                    or mg.levels[0].pallas_apply is not None
+                )
+            )
+            if use_fixed:
                 return cg_fixed(
                     mg.apply_op,
                     mg.scale_rhs(rhs_p),

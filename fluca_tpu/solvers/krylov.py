@@ -36,15 +36,19 @@ from jax.flatten_util import ravel_pytree
 # ----------------------------------------------------------------------
 
 def tree_dot(a, b):
-    """Tree inner product; reduced-precision leaves (bf16 inner
+    """Tree inner product. Reduced-precision leaves (bf16 inner
     solves) accumulate in float32 — the products are rounded to the
-    leaf dtype but the O(n) summation must not be."""
+    leaf dtype but the O(n) summation must not be; >=32-bit leaves
+    keep the plain vdot lowering (its reduction order is what the
+    sharded-vs-single-device equivalence tests were pinned on)."""
     leaves_a = jax.tree_util.tree_leaves(a)
     leaves_b = jax.tree_util.tree_leaves(b)
     tot = None
     for x, y in zip(leaves_a, leaves_b):
-        acc = jnp.promote_types(x.dtype, jnp.float32)
-        d = jnp.sum((x * y).astype(acc))
+        if jnp.dtype(x.dtype).itemsize < 4:
+            d = jnp.sum((x * y).astype(jnp.float32))
+        else:
+            d = jnp.vdot(x, y)
         tot = d if tot is None else tot + d
     return tot
 
