@@ -144,11 +144,13 @@ def test_sharded_step_collective_counts():
     # the unrolled INNER solvers on fused-kernel availability — on
     # this CPU mesh (no kernels) the inner solves are while_loops,
     # so their per-iteration collectives appear once in the program
-    # text. Measured 2026-08-21: cp=368, ar=104, ag=14.
+    # text. Measured 2026-08-21: cp=368, ar=71, ag=148 (the GCR
+    # outer's vdot-lowered tree dots emit all-gathers where the r3
+    # fgmres ravel emitted all-reduces — same O(1) payloads).
     assert n_cp > 0 and n_ar > 0
     assert n_cp <= 405, f"collective-permute count grew: {n_cp}"
-    assert n_ar <= 115, f"all-reduce count grew: {n_ar}"
-    assert n_ag <= 16, f"all-gather count grew: {n_ag}"
+    assert n_ar <= 80, f"all-reduce count grew: {n_ar}"
+    assert n_ag <= 165, f"all-gather count grew: {n_ag}"
     print(f"collectives: cp={n_cp} ar={n_ar} ag={n_ag}")
 
 
