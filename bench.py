@@ -330,6 +330,15 @@ def channel512_bench(steps=20):
     # for the 67 MB bf16 fields, PROBE512.json). The bf16 inner
     # state is also what lets outer=3 fit in HBM (r3 had to clamp
     # to o2: 16.03G vs 15.75G; VERDICT r3 item 4).
+    # dt: the r3 bench ran dt=1e-3, i.e. convective CFL ~ 12 on this
+    # grid (laminar centerline u ~ 90, h_x = 4/512) — at that CFL the
+    # momentum block loses diagonal dominance, every fixed-budget
+    # combo under-resolves, and the driven flow silently decays
+    # (exposed by the r4 retention gate below; r3's 0.556 steps/s
+    # measured a collapsing flow). Throughput is dt-independent, so
+    # the benchmark uses a CFL ~ 0.6 step like any production run
+    # would.
+    DT512 = 5e-5
     # bf16 scope "mom": momentum solves in bf16 (diagonally dominant
     # — robust), Schur stays f32 (the bf16 V-cycle on this
     # anisotropic operator is the collapse driver); the bf16
@@ -343,7 +352,7 @@ def channel512_bench(steps=20):
     ns = None
     for label, outer, pdt, scope in attempts:
         try:
-            ns = setup_channel_3d(N=N, dt=1e-3, max_steps=10**9,
+            ns = setup_channel_3d(N=N, dt=DT512, max_steps=10**9,
                                   stretch_y=2.0, dtype=jnp.float32)
             cfg = CNLinearConfig.production(outer, 8, 6)
             cfg.precond_dtype = pdt
