@@ -37,7 +37,8 @@ PERF_BANDS = {
     "channel3d_128_steps_per_sec": 16,       # r4: 18.04
     "channel3d_128_bf16_steps_per_sec": 22,  # r4: 25.26
     "channel3d_128_fast_steps_per_sec": 28,  # r4: 32.71
-    "channel512_steps_per_sec": 0.45,   # r3: 0.556 (BASELINE #5 size)
+    "channel512_steps_per_sec": 0.8,    # r4: 1.006 (o3+bf16mom, CFL-sane dt,
+    # retention-gated; r3's 0.556 measured a collapsing flow)
 }
 
 
