@@ -55,7 +55,10 @@ def main():
 
     T_total = float(sys.argv[1]) if len(sys.argv) > 1 else 40.0
     dt = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-3
-    N = 128
+    # N=64 is the classic minimal-channel resolution (dx+ = 11.25,
+    # dz+ = 5.6, first cell y+ ~ 0.4 at tanh g=2) and ~8x cheaper
+    # per step than 128^3
+    N = int(os.environ.get("FLUCA_TPU_TURB_N", "128"))
     ns = setup_channel_3d(
         N=(N, N, N), dt=dt, max_steps=10**9, stretch_y=2.0,
         perturb=0.2, dtype=jnp.float32,
@@ -120,12 +123,16 @@ def main():
     Up = Umean[: N // 2] / max(u_tau_final, 1e-12)
 
     # sustained-turbulence verdict: fluctuation energy in the last
-    # quarter stays above 10% of its peak (laminarization would
-    # decay it exponentially toward 0)
+    # quarter holds the statistically-steady band (vs the SECOND-half
+    # median — comparing against the global max would test against
+    # the initial transition spike, which is ~50x the steady level;
+    # laminarization decays E exponentially toward 0)
     Es = [s["E_turb"] for s in series]
+    ref_band = float(np.median(Es[len(Es) // 2:])) if Es else 0.0
     sustained = (
-        len(Es) > 4
-        and min(Es[-len(Es) // 4:]) > 0.1 * max(Es)
+        len(Es) > 8
+        and min(Es[-len(Es) // 4:]) > 0.3 * ref_band
+        and ref_band > 1e-3
         and np.isfinite(Es[-1])
     )
     out = {
@@ -133,7 +140,8 @@ def main():
                    "T_total": T_total, "L": [4.0, 2.0, 2.0],
                    "stretch_y": 2.0, "perturb": 0.2,
                    "box_wall_units": [720, 360],
-                   "dx_plus": 5.6, "dz_plus": 2.8},
+                   "dx_plus": round(4.0 / N * 180, 2),
+                   "dz_plus": round(2.0 / N * 180, 2)},
         "series": series,
         "u_tau_final": u_tau_final,
         "u_tau_target": 1.0,
