@@ -120,7 +120,7 @@ def test_stretched_channel_fixed_budget_solvers():
     BASELINE #5 channel512 config, reproduced small): the anisotropic
     Poisson makes the MG V-cycle a DIVERGENT Richardson iteration and
     breaks the damped-Jacobi momentum sweeps, so production_fast
-    (richardson outer) blows up within a few steps — while the GCR
+    with the richardson outer blows up within a few steps — while the GCR
     outer (monotone residual under the same rough ABF preconditioner)
     with BiCGStab momentum + CG Schur stays stable at the same fixed
     budgets. bench.py channel512_bench relies on exactly this combo;
@@ -153,5 +153,9 @@ def test_stretched_channel_fixed_budget_solvers():
     rnorm = run(cfg)
     assert np.isfinite(rnorm), rnorm
 
+    # Negative control: the RICHARDSON outer (production_fast's
+    # pre-r4 default; r4 switched the default to GCR exactly because
+    # of this divergence) still blows up on the anisotropic grid.
     with pytest.raises(RuntimeError, match="diverged"):
-        run(CNLinearConfig.production_fast(), nsteps=10)
+        run(CNLinearConfig.production_fast(outer_type="richardson"),
+            nsteps=10)
