@@ -263,8 +263,19 @@ class CNLinearSolver:
         self._pre16 = None
         if grid is not None:
             if grid.mesh.devices.size > 1:
-                self.ops._mom_kernel = None
-                self.ops._chain3d = None
+                import os
+
+                if self.ops._mom_kernel is not None:
+                    self.ops._mom_kernel = None
+                    self.ops.kernel_status["mom2d"] = (
+                        "off: 2-D stacked kernel is "
+                        "single-device-only"
+                    )
+                if self.ops._chain3d is not None:
+                    self.ops._chain3d = None
+                    self.ops.kernel_status["chain3d"] = (
+                        "off: chain3d is single-device-only"
+                    )
                 if self.ops._mom_kernel3d is not None:
                     try:
                         from fluca_tpu.parallel.pallas_sharded import (
@@ -278,31 +289,28 @@ class CNLinearSolver:
                                 self.dtype,
                             )
                         )
-                    except Exception:
+                        self.ops.kernel_status["mom3d"] = (
+                            "live (sharded)"
+                        )
+                    except Exception as e:
+                        if os.environ.get(
+                            "FLUCA_TPU_STRICT_KERNELS"
+                        ) == "1":
+                            raise
                         self.ops._mom_kernel3d = None
+                        self.ops.kernel_status["mom3d"] = (
+                            f"error (sharded build): "
+                            f"{type(e).__name__}: {e}"
+                        )
             # degenerate 1-device grid: sharding is trivial, every
             # kernel stays live (no-regression guarantee for
             # -parallel_grid 1[,1,1]; VERDICT r2 item 1)
             self.mg.set_device_grid(grid)
         else:
-            # restore the single-device kernels (they may have been
-            # replaced by shard_map wrappers above)
-            if self.ops.dim == 3:
-                try:
-                    from fluca_tpu.ops.pallas_stencil import (
-                        build_momentum_apply_3d,
-                        pallas_available,
-                    )
-
-                    if pallas_available():
-                        self.ops._mom_kernel3d = (
-                            build_momentum_apply_3d(
-                                self.mesh, self.ops.axbcs, self.rho,
-                                self.mu, self.dt, self.dtype,
-                            )
-                        )
-                except Exception:
-                    self.ops._mom_kernel3d = None
+            # restore ALL single-device kernels (2-D stacked, 3-D
+            # fused, chain3d) — they may have been nulled or replaced
+            # by shard_map wrappers above
+            self.ops._build_kernels()
             self.mg.set_device_grid(None)
 
     def _constrain(self, state):
@@ -453,11 +461,13 @@ class CNLinearSolver:
             vol = mg.levels[0].vol
 
             def proj(p):
-                # accumulate the O(n) sums in f32 even when the
-                # hierarchy is bf16: a bf16 accumulator loses the
-                # mean entirely at production sizes
-                num = jnp.sum((vol * p).astype(jnp.float32))
-                den = jnp.sum(vol.astype(jnp.float32))
+                # accumulate the O(n) sums in at least f32 even when
+                # the hierarchy is bf16 (a bf16 accumulator loses the
+                # mean entirely at production sizes) — but never
+                # DOWNcast an f64 solve's accumulation
+                acc_dt = jnp.promote_types(p.dtype, jnp.float32)
+                num = jnp.sum((vol * p).astype(acc_dt))
+                den = jnp.sum(vol.astype(acc_dt))
                 return p - (num / den).astype(p.dtype)
         else:
             proj = None
@@ -541,6 +551,21 @@ class CNLinearSolver:
             and self.grid.mesh.devices.size > 1
         ):
             return None
+        cfg = self.cfg
+        if not (
+            cfg.converged_skip
+            and cfg.mom_rtol <= 1e-20
+            and (cfg.precond_scope == "mom" or cfg.schur_rtol <= 1e-20)
+        ):
+            # the tolerance-based (while_loop) inner forms mix f32
+            # scalars into the carry and fail to trace on bf16 trees;
+            # only the fixed-budget presets are supported
+            raise ValueError(
+                "precond_dtype requires a fixed-budget config "
+                "(converged_skip=True with inner rtols <= 1e-20, "
+                "e.g. CNLinearConfig.production()); tolerance-based "
+                "inner solves cannot run in reduced precision"
+            )
         pdt = jnp.dtype(self.cfg.precond_dtype)
         if (
             self._pre16 is not None
@@ -565,10 +590,16 @@ class CNLinearSolver:
 
             if pallas_available():
                 if self.ops._mom_kernel3d is not None:
+                    # the FULL (prep, apply) pair: the kernel-format
+                    # factors are tile-layout-dependent (FE0[i] =
+                    # lo[(i+1)*TM]) and the reduced-precision kernel
+                    # picks its own TM (half-size planes -> bigger
+                    # tiles), so factors must be built by THIS
+                    # kernel's prep, never cast from the f32 ones
                     res["momk3d"] = build_momentum_apply_3d(
                         self.mesh, self.ops.axbcs, self.rho,
                         self.mu, self.dt, pdt,
-                    )[1]
+                    )
                 elif self.ops._mom_kernel is not None:
                     res["momk2d"] = build_momentum_apply_2d(
                         self.mesh.N[0], self.mesh.N[1],
@@ -580,29 +611,41 @@ class CNLinearSolver:
         self._pre16 = res
         return res
 
-    def _precond_ctx(self, Acoeffs, diagA):
+    def _precond_ctx(self, Acoeffs, diagA, U0=None, v0f=None):
         """Per-step reduced-precision context: the coefficient
         fields and diag cast once (one pass), plus the A-apply
         closure in that dtype. None when precond_dtype is off or the
-        coefficient format cannot be consumed in reduced precision."""
+        coefficient format cannot be consumed in reduced precision.
+
+        For the 3-D kernel-format coefficients the factors are
+        REBUILT from (U0, v0f) with the reduced-precision kernel's
+        own prep: the FE0 edge planes encode the builder's tile
+        layout (FE0[i] = lo[(i+1)*TM]) and the bf16 kernel generally
+        picks a different TM than the f32 one — casting the f32
+        factors would feed wrong hi-edge planes at every tile
+        boundary (advisor r4 high finding)."""
         res = self._pre_resources()
         if res is None:
             return None
         pdt = res["dtype"]
-        Ac = jax.tree_util.tree_map(
-            lambda x: x.astype(pdt), Acoeffs
-        )
         ctx = {
             "dtype": pdt,
             "mg": res["mg"],
             "diagA": tuple(d.astype(pdt) for d in diagA),
-            "Acoeffs": Ac,
         }
         if isinstance(Acoeffs, dict) and "FU" in Acoeffs:
-            if res["momk3d"] is None:
+            if res["momk3d"] is None or U0 is None:
                 return None  # kernel-format coeffs need the kernel
-            ctx["applyA"] = lambda v: res["momk3d"](v, Ac)
-        elif not isinstance(Acoeffs, dict):
+            prep16, apply16 = res["momk3d"]
+            Ac = prep16(U0, v0f)  # prep casts to pdt internally
+            ctx["Acoeffs"] = Ac
+            ctx["applyA"] = lambda v: apply16(v, Ac)
+            return ctx
+        Ac = jax.tree_util.tree_map(
+            lambda x: x.astype(pdt), Acoeffs
+        )
+        ctx["Acoeffs"] = Ac
+        if not isinstance(Acoeffs, dict):
             if res["momk2d"] is None:
                 return None
             ctx["applyA"] = lambda v: res["momk2d"](
@@ -770,7 +813,7 @@ class CNLinearSolver:
         else:
             Acoeffs = ops.build_momentum_coeffs(U0, v0f)
 
-        pre = self._precond_ctx(Acoeffs, diagA)
+        pre = self._precond_ctx(Acoeffs, diagA, U0=U0, v0f=v0f)
 
         if self.cfg.solve_type == "fsm":
             # classical fractional-step: one ABF application IS the

@@ -186,42 +186,89 @@ class NSOperators:
         # fused interp/div/grad chain stages (ops/pallas_chain3d):
         # coupled epilogue + ABF pre/post in one pass each
         self._chain3d = None
+        # kernel liveness/causes for diagnostics (bench, -log_view):
+        # name -> "live" | "off: <reason>" | "error: <exception>"
+        self.kernel_status = {}
+        self._build_kernels()
+
+    def _build_kernels(self) -> None:
+        """(Re)build every single-device fused Pallas kernel this
+        operator set can use. Called at construction and again by
+        CNLinearSolver.set_device_grid(None) to restore the
+        single-device kernels after an un-shard (shard_map wrappers /
+        nulled kernels are replaced wholesale).
+
+        A kernel builder failure is recorded in ``kernel_status``
+        (never silently swallowed: a Mosaic regression otherwise
+        downgrades the hot path to the XLA banded apply with no
+        signal but a slower bench). Set FLUCA_TPU_STRICT_KERNELS=1 to
+        raise instead of falling back."""
         import os
 
-        if (
-            dim == 2
-            and os.environ.get("FLUCA_TPU_DISABLE_PALLAS") != "1"
-        ):
+        mesh, axbcs, dtype, dim = (
+            self.mesh, self.axbcs, self.dtype, self.dim
+        )
+        strict = os.environ.get("FLUCA_TPU_STRICT_KERNELS") == "1"
+        self._mom_kernel = None
+        self._mom_kernel3d = None
+        self._chain3d = None
+
+        if os.environ.get("FLUCA_TPU_DISABLE_PALLAS") == "1":
+            self.kernel_status = {"all": "off: FLUCA_TPU_DISABLE_PALLAS"}
+            return
+
+        def build(name, fn):
             try:
+                out = fn()
+            except Exception as e:  # noqa: BLE001 - cause recorded
+                if strict:
+                    raise
+                self.kernel_status[name] = (
+                    f"error: {type(e).__name__}: {e}"
+                )
+                return None
+            self.kernel_status[name] = (
+                "live" if out is not None
+                else self.kernel_status.get(name, "off: unavailable")
+            )
+            return out
+
+        if dim == 2:
+            def mk2d():
                 from fluca_tpu.ops.pallas_stencil import (
                     build_momentum_apply_2d,
                     pallas_available,
                 )
 
-                if pallas_available() and mesh.N[0] % 8 == 0:
-                    self._mom_kernel = build_momentum_apply_2d(
-                        mesh.N[0], mesh.N[1],
-                        mesh.periodic[0], mesh.periodic[1], dtype,
+                if not pallas_available():
+                    self.kernel_status["mom2d"] = "off: no TPU"
+                    return None
+                if mesh.N[0] % 8:
+                    self.kernel_status["mom2d"] = (
+                        f"off: N0={mesh.N[0]} not 8-aligned"
                     )
-            except Exception:  # pragma: no cover
-                self._mom_kernel = None
-        elif (
-            dim == 3
-            and os.environ.get("FLUCA_TPU_DISABLE_PALLAS") != "1"
-        ):
-            try:
+                    return None
+                return build_momentum_apply_2d(
+                    mesh.N[0], mesh.N[1],
+                    mesh.periodic[0], mesh.periodic[1], dtype,
+                )
+
+            self._mom_kernel = build("mom2d", mk2d)
+        elif dim == 3:
+            def mk3d():
                 from fluca_tpu.ops.pallas_stencil import (
                     build_momentum_apply_3d,
                     pallas_available,
                 )
 
-                if pallas_available():
-                    self._mom_kernel3d = build_momentum_apply_3d(
-                        mesh, axbcs, self.rho, self.mu, self.dt,
-                        dtype,
-                    )
-            except Exception:  # pragma: no cover
-                self._mom_kernel3d = None
+                if not pallas_available():
+                    self.kernel_status["mom3d"] = "off: no TPU"
+                    return None
+                return build_momentum_apply_3d(
+                    mesh, axbcs, self.rho, self.mu, self.dt, dtype,
+                )
+
+            self._mom_kernel3d = build("mom3d", mk3d)
             # opt-in (FLUCA_TPU_CHAIN3D=1): stage-level slope timing on
             # v5e (2026-08-20, examples/profile128.py) shows the fused
             # chain makes the coupled apply SLOWER than the XLA
@@ -231,18 +278,20 @@ class NSOperators:
             # kernels stay correct (tests/test_chain3d.py) for shapes
             # where a future measurement flips the verdict.
             if os.environ.get("FLUCA_TPU_CHAIN3D") == "1":
-                try:
+                def mkchain():
                     from fluca_tpu.ops.pallas_chain3d import Chain3D
                     from fluca_tpu.ops.pallas_stencil import (
                         pallas_available,
                     )
 
-                    if pallas_available():
-                        self._chain3d = Chain3D(
-                            mesh, axbcs, self.rho, self.dt, dtype
-                        )
-                except Exception:  # pragma: no cover
-                    self._chain3d = None
+                    if not pallas_available():
+                        self.kernel_status["chain3d"] = "off: no TPU"
+                        return None
+                    return Chain3D(
+                        mesh, axbcs, self.rho, self.dt, dtype
+                    )
+
+                self._chain3d = build("chain3d", mkchain)
 
     # ------------------------------------------------------------------
     # slice helpers
