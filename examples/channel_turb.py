@@ -28,23 +28,36 @@ import numpy as np
 
 
 def turb_stats(ns):
-    """(E_turb, u_tau, mean_profile): fluctuation kinetic energy
-    about the xz-mean profile, friction velocity from the wall
-    gradient (both walls averaged), and the xz-mean streamwise
-    profile."""
+    """(E_turb, u_tau, profiles): fluctuation kinetic energy about
+    the xz-mean profile, friction velocity from the wall gradient
+    (both walls averaged), and the xz-mean profiles — mean U, the
+    Reynolds shear stress <u'v'>(y), and the rms fluctuation
+    profiles (VERDICT r4 item 3: turbulence statistics beyond the
+    energy series)."""
     v = [np.asarray(x, np.float64) for x in ns.state["v"]]
     nu = ns.mu / ns.rho
     cy = np.asarray(ns.mesh.centers(1))
     Umean = v[0].mean(axis=(0, 2))
+    Vmean = v[1].mean(axis=(0, 2))
+    Wmean = v[2].mean(axis=(0, 2))
     up = v[0] - Umean[None, :, None]
-    E = 0.5 * float((up**2 + v[1] ** 2 + v[2] ** 2).mean())
+    vp = v[1] - Vmean[None, :, None]
+    wp = v[2] - Wmean[None, :, None]
+    E = 0.5 * float((up**2 + vp**2 + wp**2).mean())
+    profiles = {
+        "U": Umean,
+        "uv": (up * vp).mean(axis=(0, 2)),
+        "uu": (up * up).mean(axis=(0, 2)),
+        "vv": (vp * vp).mean(axis=(0, 2)),
+        "ww": (wp * wp).mean(axis=(0, 2)),
+    }
     # wall gradient from the first cell center (no-slip wall at y=0
     # and y=2delta)
     dudy_lo = Umean[0] / cy[0]
     dudy_hi = Umean[-1] / (2.0 - cy[-1])
     tau = nu * 0.5 * (dudy_lo + dudy_hi)
     u_tau = float(np.sqrt(max(tau, 0.0)))
-    return E, u_tau, Umean
+    return E, u_tau, profiles
 
 
 def main():
@@ -83,7 +96,8 @@ def main():
     ns.step()
     for k in range(nsteps // chunk):
         ns.advance(chunk)
-        E, u_tau, Umean = turb_stats(ns)
+        E, u_tau, profs = turb_stats(ns)
+        Umean = profs["U"]
         t = ns.t
         series.append(
             {"t": round(float(t), 4), "E_turb": E,
@@ -97,7 +111,8 @@ def main():
         )
         if t >= t_stats:
             prof_acc = (
-                Umean if prof_acc is None else prof_acc + Umean
+                profs if prof_acc is None
+                else {k_: prof_acc[k_] + profs[k_] for k_ in profs}
             )
             prof_n += 1
         if not np.isfinite(E):
@@ -112,8 +127,12 @@ def main():
                   flush=True)
             break
 
-    Umean = (prof_acc / max(prof_n, 1)) if prof_acc is not None \
+    profs = (
+        {k_: prof_acc[k_] / max(prof_n, 1) for k_ in prof_acc}
+        if prof_acc is not None
         else turb_stats(ns)[2]
+    )
+    Umean = profs["U"]
     u_tau_final = float(
         np.mean([s["u_tau"] for s in series[-10:]])
     ) if len(series) >= 10 else series[-1]["u_tau"]
@@ -151,8 +170,38 @@ def main():
             "y_plus": [round(float(x), 3) for x in yp],
             "U_plus": [round(float(x), 4) for x in Up],
         },
+        # second-half-averaged turbulence statistics in wall units
+        # (full y so the -<u'v'>+ antisymmetry across the centerline
+        # is visible; total stress -<u'v'>+ + dU+/dy+ should approach
+        # the linear 1 - y/delta balance at stationarity)
+        "reynolds_stress": {
+            "y": [round(float(x), 5) for x in cy],
+            "uv_plus": [
+                round(float(x) / max(u_tau_final, 1e-12) ** 2, 5)
+                for x in profs["uv"]
+            ],
+            "urms_plus": [
+                round(float(np.sqrt(max(x, 0.0)))
+                      / max(u_tau_final, 1e-12), 4)
+                for x in profs["uu"]
+            ],
+            "vrms_plus": [
+                round(float(np.sqrt(max(x, 0.0)))
+                      / max(u_tau_final, 1e-12), 4)
+                for x in profs["vv"]
+            ],
+            "wrms_plus": [
+                round(float(np.sqrt(max(x, 0.0)))
+                      / max(u_tau_final, 1e-12), 4)
+                for x in profs["ww"]
+            ],
+        },
     }
-    with open("/root/repo/CHANNEL_TURB.json", "w") as f:
+    out_path = (
+        "/root/repo/CHANNEL_TURB.json" if N == 64
+        else f"/root/repo/CHANNEL_TURB_{N}.json"
+    )
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items()
                       if k not in ("series", "mean_profile")}),

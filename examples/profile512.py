@@ -26,22 +26,29 @@ import numpy as np
 from jax import lax
 
 
-def slope(fn, x, lo=10, hi=40, repeats=3):
+def slope(fn, x, lo=10, hi=40, repeats=3, consts=()):
+    """Seconds per application of fn(x, *consts), fixed overheads
+    removed. ``consts`` are passed as jit ARGUMENTS, not closure
+    captures: at the 512 shape the factor/table trees are ~2 GB and
+    constant-capturing them overflows the remote-compile request
+    (HTTP 413)."""
     ts = {}
     for iters in (lo, hi):
         g = jax.jit(
-            lambda x, it=iters: sum(
+            lambda x, *cs, it=iters: sum(
                 jnp.sum(leaf)
                 for leaf in jax.tree_util.tree_leaves(
-                    lax.fori_loop(0, it, lambda i, a: fn(a), x)
+                    lax.fori_loop(
+                        0, it, lambda i, a: fn(a, *cs), x
+                    )
                 )
             )
         )
-        float(g(x))
+        float(g(x, *consts))
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            float(g(x))
+            float(g(x, *consts))
             best = min(best, time.perf_counter() - t0)
         ts[iters] = best
     return (ts[hi] - ts[lo]) / (hi - lo)
@@ -95,9 +102,9 @@ def main():
     b_field = field * 0.5
     results = {}
 
-    def stage(name, fn, arg, lo=10, hi=40):
+    def stage(name, fn, arg, lo=10, hi=40, consts=()):
         try:
-            t_s = slope(fn, arg, lo=lo, hi=hi)
+            t_s = slope(fn, arg, lo=lo, hi=hi, consts=consts)
             results[name] = round(t_s * 1e3, 4)
             print(f"  {name:34s}: {t_s*1e3:9.3f} ms", flush=True)
         except Exception as e:
@@ -106,16 +113,41 @@ def main():
 
     pre = impl._precond_ctx(Acoeffs, diagA, U0=U0, v0f=v0f)
     assert pre is not None
+    apply16 = impl._pre_resources()["momk3d"][1]
+    Ac16 = pre["Acoeffs"]
+    diagA16 = pre["diagA"]
+    tabs = impl._big_tables()
+
+    def with_tabs(fn):
+        """Swap the big-table closures for jit-ARG tracers during the
+        trace (the production step's tables-as-params discipline;
+        closure capture of the ~GB tables overflows the remote
+        compiler's request limit)."""
+
+        def run(x, tabs, *cs):
+            old = impl._set_big_tables(tabs)
+            try:
+                return fn(x, *cs)
+            finally:
+                impl._set_big_tables(old)
+
+        return run
 
     # ---- primitive applies ------------------------------------------
-    stage("A_apply_f32", lambda v: ops.apply_A_coeffs(v, Acoeffs),
-          rhs["v"], lo=20, hi=80)
+    stage("A_apply_f32",
+          lambda v, Ac: ops.apply_A_coeffs(v, Ac),
+          rhs["v"], lo=20, hi=80, consts=(Acoeffs,))
     rv16 = tuple(x.astype(jnp.bfloat16) for x in rhs["v"])
-    stage("A_apply_bf16", pre["applyA"], rv16, lo=20, hi=80)
-    stage("coupled_apply", lambda x: impl._coupled_apply(x, Acoeffs),
-          x0, lo=20, hi=80)
-    stage("poisson_apply_lvl0", mg.apply_op, field, lo=20, hi=80)
-    stage("vcycle_full", mg.precondition, field)
+    stage("A_apply_bf16", lambda v, Ac: apply16(v, Ac),
+          rv16, lo=20, hi=80, consts=(Ac16,))
+    stage("coupled_apply",
+          lambda x, Ac: impl._coupled_apply(x, Ac),
+          x0, lo=20, hi=80, consts=(Acoeffs,))
+    stage("poisson_apply_lvl0",
+          with_tabs(lambda p: mg.apply_op(p)),
+          field, lo=20, hi=80, consts=(tabs,))
+    stage("vcycle_full", with_tabs(lambda p: mg.precondition(p)),
+          field, consts=(tabs,))
     stage("dot+axpy_coupled",
           lambda ab: (ab[0],
                       tree_axpy(1e-30 * tree_dot(ab[0], ab[1]).real,
@@ -130,13 +162,19 @@ def main():
         impl.cfg = copy.copy(cfg0)
         impl.cfg.mom_solver = solver
         if pdt:
-            stage(name, lambda b: impl._solve_momentum(
-                tuple(x.astype(jnp.bfloat16) for x in b),
-                pre["Acoeffs"], pre["diagA"], applyA=pre["applyA"]),
-                rhs["v"])
+            # cast the result back to f32 so the fori_loop carry
+            # keeps the input dtype
+            stage(name,
+                  lambda b, Ac, dA: tuple(
+                      y.astype(jnp.float32)
+                      for y in impl._solve_momentum(
+                          tuple(x.astype(jnp.bfloat16) for x in b),
+                          Ac, dA, applyA=lambda v: apply16(v, Ac))),
+                  rhs["v"], consts=(Ac16, diagA16))
         else:
-            stage(name, lambda b: impl._solve_momentum(
-                b, Acoeffs, diagA), rhs["v"])
+            stage(name,
+                  lambda b, Ac, dA: impl._solve_momentum(b, Ac, dA),
+                  rhs["v"], consts=(Acoeffs, diagA))
         impl.cfg = cfg0
 
     mom_stage("mom_solve_bicgstab8_bf16", "bicgstab")
@@ -144,41 +182,64 @@ def main():
     mom_stage("mom_solve_gcr8_bf16", "gcr")
     mom_stage("mom_solve_bicgstab8_f32", "bicgstab", pdt=False)
     mom_stage("mom_solve_jacobi8_f32", "jacobi", pdt=False)
-    stage("schur_solve_cg6_f32", lambda b: impl._solve_schur(b), field)
-    stage("abf_apply_bf16mom",
-          lambda r: impl._abf_apply(r, Acoeffs, diagA, pre), x0)
+    stage("schur_solve_cg6_f32",
+          with_tabs(lambda b: impl._solve_schur(b)),
+          field, consts=(tabs,))
+
+    def abf(r, tabs, Ac, dA, Ac16_, dA16_):
+        old = impl._set_big_tables(tabs)
+        try:
+            p = {
+                "dtype": pre["dtype"], "mg": pre["mg"],
+                "diagA": dA16_, "Acoeffs": Ac16_,
+                "applyA": lambda v: apply16(v, Ac16_),
+            }
+            return impl._abf_apply(r, Ac, dA, p)
+        finally:
+            impl._set_big_tables(old)
+
+    stage("abf_apply_bf16mom", abf, x0,
+          consts=(tabs, Acoeffs, diagA, Ac16, diagA16))
 
     # ---- per-step prep ----------------------------------------------
-    def prep_fn(st):
-        Bv0 = ops.apply_B(st["v"])
-        bcB = ops.bc_B(t)
-        v0f = tuple(
-            tuple(Bv0[d][c] + bcB[d][c] for c in range(dim))
-            for d in range(dim)
-        )
-        U0 = st["U"]
-        dA = ops.diag_A(U0, v0f)
-        Ac = ops.build_momentum_factors_3d(U0, v0f)
-        r = impl._form_rhs(st, st["phalf"], t, False)
-        s = sum(
-            jnp.sum(leaf)
-            for leaf in jax.tree_util.tree_leaves((dA, Ac))
-        )
-        return {
-            "v": tuple(0.5 * r["v"][c] + 0.0 * s for c in range(dim)),
-            "U": tuple(0.5 * u for u in r["U"]),
-            "p": 0.5 * r["p"] + st["p"] * 0.5,
-            "phalf": st["phalf"],
-        }
+    def prep_fn(st, tabs):
+        old = impl._set_big_tables(tabs)
+        try:
+            Bv0 = ops.apply_B(st["v"])
+            bcB = ops.bc_B(t)
+            v0f = tuple(
+                tuple(Bv0[d][c] + bcB[d][c] for c in range(dim))
+                for d in range(dim)
+            )
+            U0 = st["U"]
+            dA = ops.diag_A(U0, v0f)
+            Ac = ops.build_momentum_factors_3d(U0, v0f)
+            r = impl._form_rhs(st, st["phalf"], t, False)
+            s = sum(
+                jnp.sum(leaf)
+                for leaf in jax.tree_util.tree_leaves((dA, Ac))
+            )
+            return {
+                "v": tuple(
+                    0.5 * r["v"][c] + 0.0 * s for c in range(dim)
+                ),
+                "U": tuple(0.5 * u for u in r["U"]),
+                "p": 0.5 * r["p"] + st["p"] * 0.5,
+                "phalf": st["phalf"],
+            }
+        finally:
+            impl._set_big_tables(old)
 
-    stage("prep(B,diagA,Acoeffs,rhs)+reads", prep_fn, state)
+    stage("prep(B,diagA,Acoeffs,rhs)+reads", prep_fn, state,
+          consts=(tabs,))
 
     # ---- full step --------------------------------------------------
-    def run_step(s):
-        new, _ = impl._step_impl(s, t, is_first_step=False)
+    def run_step(s, tabs):
+        new, _ = impl._traced_step(s, t, tabs, is_first=False)
         return new
 
-    stage("FULL_o3m8s6_bf16mom", run_step, state, lo=4, hi=12)
+    stage("FULL_o3m8s6_bf16mom", run_step, state, lo=4, hi=12,
+          consts=(tabs,))
 
     # ---- SpMV gap decomposition at this shape -----------------------
     from jax.experimental import pallas as pl
