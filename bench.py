@@ -376,17 +376,27 @@ def channel512_bench(steps=20):
     # anisotropic operator is the collapse driver); the bf16
     # momentum states also free the ~1.1 GB that kept outer=3 from
     # fitting HBM in r3 (VERDICT item 4).
+    # r5 (TUNE512.json + PROFILE512.json): damped-Jacobi momentum
+    # sweeps replace BiCGStab inside the bf16 ABF preconditioner —
+    # A = I + dt C - b L is diagonally dominant at CFL-0.6, Jacobi
+    # costs 53 ms vs BiCGStab's 140 per solve at m=8 (no dots, no
+    # extra A-apply) and lands BETTER per-step residuals in bf16
+    # (359 vs 390 at 30 steps: BiCGStab's bf16 dot products are the
+    # noise source). m=6 passes the retention + rnorm gates; Schur
+    # stays CG s=6 (s=4 fails the rnorm ceiling, TUNE512).
     attempts = [
-        ("o3+bf16mom", 3, "bfloat16", "mom"),
-        ("o2+bf16mom", 2, "bfloat16", "mom"),
-        ("o2", 2, None, "both"),
+        ("o3+jac6+bf16mom", 3, "jacobi", 6, "bfloat16", "mom"),
+        ("o3+bf16mom", 3, "bicgstab", 8, "bfloat16", "mom"),
+        ("o2+bf16mom", 2, "bicgstab", 8, "bfloat16", "mom"),
+        ("o2", 2, "bicgstab", 8, None, "both"),
     ]
     ns = None
-    for label, outer, pdt, scope in attempts:
+    for label, outer, momsol, m, pdt, scope in attempts:
         try:
             ns = setup_channel_3d(N=N, dt=DT512, max_steps=10**9,
                                   stretch_y=2.0, dtype=jnp.float32)
-            cfg = CNLinearConfig.production(outer, 8, 6)
+            cfg = CNLinearConfig.production(outer, m, 6)
+            cfg.mom_solver = momsol
             cfg.precond_dtype = pdt
             cfg.precond_scope = scope
             ns.impl.cfg = cfg

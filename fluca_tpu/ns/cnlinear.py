@@ -126,6 +126,11 @@ class CNLinearConfig:
     # dtype, preserving most of M's contraction at ~60% of the
     # saving)
     precond_scope: str = "both"
+    # report ||rhs|| in the step diagnostics so an achieved relative
+    # tolerance (reference semantics: KSP rtol on the unpreconditioned
+    # norm, nssol.c:24-25) can be formed as ksp_rnorm / rhs_norm.
+    # Off by default: it adds one full-tree reduction per step.
+    diag_rhs_norm: bool = False
 
     @classmethod
     def production(cls, outer=3, mom=8, schur=6):
@@ -933,6 +938,8 @@ class CNLinearSolver:
             "ksp_rnorm": res.rnorm,
             "converged": converged,
         }
+        if self.cfg.diag_rhs_norm:
+            diag["rhs_norm"] = tree_norm(rhs)
         return new_state, diag
 
     # -- full-grid coefficient tables as runtime arguments ------------
