@@ -322,21 +322,34 @@ def poisson3d_coeffs(level):
 
 
 def poisson3d_raw_call(N0, N1, N2, dtype, *, mode="apply", omega=0.8,
-                       tile_slabs=16, interpret=False):
-    """Bare pallas_call for the fused 3-D Poisson kernels; every
-    position-dependent input is an argument:
+                       tile_slabs=16, interpret=False,
+                       self_edges=False):
+    """Bare pallas_call for the fused 3-D Poisson kernels.
 
+    Two edge conventions:
+
+    self_edges=False (the shard_map form):
       call(a0(3,N0)[SMEM], h0(N0,)[SMEM], p, w1, w2, h12,
            ue(ntiles,N1,N2), de(ntiles,N1,N2),
            le1(N0,1,N2), re1(N0,1,N2), le2(N0,N1,1), re2(N0,N1,1)
            [, b][, w])
+      le1/re1 patch the axis-1 sublane rolls at rows 0/N1-1, le2/re2
+      the axis-2 lane rolls at cols 0/N2-1 — ppermute'd neighbor
+      slabs under shard_map (decomposition-invariant hot path,
+      cnlinearcart2d.c:618-622).
 
-    le1/re1 patch the axis-1 sublane rolls at rows 0/N1-1, le2/re2
-    the axis-2 lane rolls at cols 0/N2-1 — filled with wrap/zero
-    locally or ppermute'd neighbor slabs under shard_map, so one
-    kernel serves both the single-device and the domain-decomposed
-    path (reference anchor: the hot path is decomposition-invariant,
-    cnlinearcart2d.c:618-622).
+    self_edges=True (the single-device fast form):
+      call(a0, h0, p, w1, w2, h12, p, p [, b][, w])
+      The axis-0 cross-tile planes are read DIRECTLY from p via
+      shifted block-index maps (tile i's up edge = plane i*TM-1,
+      wrapping to N0-1 at i=0), so no host-side edge building and no
+      sliver inputs. In-plane rolls need no patches at all: on a
+      periodic axis the Mosaic roll wrap IS the periodic neighbor,
+      and on a non-periodic axis the boundary band entries are zero
+      by BC folding (ns/tables discipline), annihilating the wrapped
+      values — measured r5: the per-call lane-column slivers + edge
+      builds were the 211-vs-296 GB/s gap at 512x256x256
+      (PROBE_POISSON512.json).
 
     Raises ValueError when the cross-section exceeds the VMEM budget.
     """
@@ -355,19 +368,25 @@ def poisson3d_raw_call(N0, N1, N2, dtype, *, mode="apply", omega=0.8,
     ntiles = N0 // TM
     omega = float(omega)
 
-    def kernel(a0t, h0t, block, w1r, w2r, h12r, ue, de,
-               le1, re1, le2, re2, *rest):
+    def kernel(a0t, h0t, block, w1r, w2r, h12r, ue, de, *rest):
         # a0t: (3, N0) SMEM scalars (full, indexed via program_id);
         # h0t: (N0,) SMEM; block: (TM, N1, N2); w1r/w2r: (3, N1, N2);
         # h12r: (N1, N2); ue/de: (1, N1, N2) edge planes;
-        # le1/re1: (TM, 1, N2); le2/re2: (TM, N1, 1)
+        # explicit-edge form adds le1/re1: (TM, 1, N2) and
+        # le2/re2: (TM, N1, 1) roll patches
+        if self_edges:
+            le1 = re1 = le2 = re2 = None
+        else:
+            le1, re1, le2, re2 = rest[:4]
+            rest = rest[4:]
         out_ref = rest[-1]
         base = pl.program_id(0) * TM
         w1m, w10, w1p = w1r[0], w1r[1], w1r[2]
         w2m, w20, w2p = w2r[0], w2r[1], w2r[2]
         h12v = h12r[...]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 1)
+        if not self_edges:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (N1, N2), 1)
         for s in range(TM):
             p = block[s]
             up = ue[0] if s == 0 else block[s - 1]
@@ -379,14 +398,16 @@ def poisson3d_raw_call(N0, N1, N2, dtype, *, mode="apply", omega=0.8,
 
             left = _roll(p, 1, 0)
             right = _roll(p, N1 - 1, 0)
-            left = jnp.where(rows == 0, le1[s], left)
-            right = jnp.where(rows == N1 - 1, re1[s], right)
+            if not self_edges:
+                left = jnp.where(rows == 0, le1[s], left)
+                right = jnp.where(rows == N1 - 1, re1[s], right)
             term1 = w1m * left + w10 * p + w1p * right
 
             fwd = _roll(p, 1, 1)
             bwd = _roll(p, N2 - 1, 1)
-            fwd = jnp.where(cols == 0, le2[s], fwd)
-            bwd = jnp.where(cols == N2 - 1, re2[s], bwd)
+            if not self_edges:
+                fwd = jnp.where(cols == 0, le2[s], fwd)
+                bwd = jnp.where(cols == N2 - 1, re2[s], bwd)
             term2 = w2m * fwd + w20 * p + w2p * bwd
 
             sp = term0 + h0t[base + s] * (term1 + term2)
@@ -401,6 +422,42 @@ def poisson3d_raw_call(N0, N1, N2, dtype, *, mode="apply", omega=0.8,
                 ).astype(dtype)
 
     n_extra = {"apply": 0, "residual": 1, "smooth": 2}[mode]
+    if self_edges:
+        # ue/de are (1, N1, N2) views INTO p itself (passed again as
+        # operands 7/8, block shape (1, N1, N2) in plane units): tile
+        # i's up edge is plane i*TM-1 (wrapping to the last plane at
+        # i=0 — correct for periodic axis 0, annihilated by the zero
+        # boundary scalar a0[0, 0] otherwise), down edge is plane
+        # (i+1)*TM (wrapping to plane 0 at the last tile).
+        edge_specs = [
+            pl.BlockSpec(
+                (1, N1, N2),
+                lambda i: (jnp.where(i == 0, N0 - 1, i * TM - 1),
+                           0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, N1, N2),
+                lambda i: (jnp.where(i == ntiles - 1, 0,
+                                     (i + 1) * TM), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    else:
+        edge_specs = [
+            pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # up edge planes
+            pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # down edges
+            pl.BlockSpec((TM, 1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # le1
+            pl.BlockSpec((TM, 1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # re1
+            pl.BlockSpec((TM, N1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # le2
+            pl.BlockSpec((TM, N1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # re2
+        ]
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N0, N1, N2), dtype),
@@ -413,19 +470,7 @@ def poisson3d_raw_call(N0, N1, N2, dtype, *, mode="apply", omega=0.8,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 (3, N1, N2)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 (3, N1, N2)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # h12 (N1, N2)
-            pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # up edge planes
-            pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # down edge planes
-            pl.BlockSpec((TM, 1, N2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # le1
-            pl.BlockSpec((TM, 1, N2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # re1
-            pl.BlockSpec((TM, N1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # le2
-            pl.BlockSpec((TM, N1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # re2
-        ] + [
+        ] + edge_specs + [
             pl.BlockSpec((TM, N1, N2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(n_extra)
@@ -491,9 +536,20 @@ def _build_poisson_3d(level, *, mode="apply", omega=0.8,
     dtype = level.vol.dtype
 
     A0, H0, W1, W2, H12 = poisson3d_coeffs(level)
+    # single-device fast form (r5): edges read from p itself via
+    # shifted block-index maps, roll wraps unpatched. Safe because on
+    # a non-periodic axis the wrapped values meet zero boundary band
+    # entries (BC folding); assert that here so a future table change
+    # cannot silently corrupt the kernel.
+    if not per0:
+        assert not np.any(A0[0, 0]) and not np.any(A0[2, N0 - 1])
+    if not per1:
+        assert not np.any(W1[0, 0, :]) and not np.any(W1[2, N1 - 1, :])
+    if not per2:
+        assert not np.any(W2[0, :, 0]) and not np.any(W2[2, :, N2 - 1])
     call, TM, ntiles = poisson3d_raw_call(
         N0, N1, N2, dtype, mode=mode, omega=omega,
-        tile_slabs=tile_slabs, interpret=interpret,
+        tile_slabs=tile_slabs, interpret=interpret, self_edges=True,
     )
 
     cdt = _coef_dtype(dtype)
@@ -503,24 +559,8 @@ def _build_poisson_3d(level, *, mode="apply", omega=0.8,
     w2 = jnp.asarray(W2, cdt)
     h12 = jnp.asarray(H12, cdt)
 
-    def lr_edges(p):
-        if per1:
-            le1 = p[:, N1 - 1:N1, :]
-            re1 = p[:, 0:1, :]
-        else:
-            le1 = re1 = jnp.zeros((N0, 1, N2), dtype)
-        if per2:
-            le2 = p[:, :, N2 - 1:N2]
-            re2 = p[:, :, 0:1]
-        else:
-            le2 = re2 = jnp.zeros((N0, N1, 1), dtype)
-        return le1, re1, le2, re2
-
     def run(p, *extra):
-        ue, de = poisson3d_tile_edges(p, TM, ntiles, per0, dtype)
-        le1, re1, le2, re2 = lr_edges(p)
-        return call(a0, h0j, p, w1, w2, h12, ue, de,
-                    le1, re1, le2, re2, *extra)
+        return call(a0, h0j, p, w1, w2, h12, p, p, *extra)
 
     if mode == "apply":
         return jax.jit(lambda p: run(p))
