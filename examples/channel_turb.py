@@ -72,9 +72,13 @@ def main():
     # dz+ = 5.6, first cell y+ ~ 0.4 at tanh g=2) and ~8x cheaper
     # per step than 128^3
     N = int(os.environ.get("FLUCA_TPU_TURB_N", "128"))
+    # IC: "rolls" (large-scale rolls+streaks) is the default — white
+    # noise cannot seed transition at 128^3 (viscously annihilated at
+    # rate ~nu k_grid^2 ~ 57/t-unit before it can grow; measured r5)
+    ic = os.environ.get("FLUCA_TPU_TURB_IC", "rolls")
     ns = setup_channel_3d(
         N=(N, N, N), dt=dt, max_steps=10**9, stretch_y=2.0,
-        perturb=0.2, dtype=jnp.float32,
+        perturb=0.2, perturb_mode=ic, dtype=jnp.float32,
     )
     cfg = CNLinearConfig.production()
     # bf16 preconditioning is NOT usable here: on the wall-clustered

@@ -34,6 +34,7 @@ def setup_channel_3d(
     dt=2e-3,
     max_steps=10,
     perturb=0.1,
+    perturb_mode="noise",
     stretch_y=None,
     dtype=None,
 ):
@@ -83,7 +84,7 @@ def setup_channel_3d(
         jnp.zeros(mesh.cell_shape, dtype),
     )
 
-    # laminar-profile initial condition + divergence-free perturbation
+    # laminar-profile initial condition + perturbation
     cy = mesh.centers(1)
     u_lam = (
         Re_tau / 2.0 * utau * (1.0 - ((cy - delta) / delta) ** 2)
@@ -92,12 +93,51 @@ def setup_channel_3d(
     u0 = np.broadcast_to(
         u_lam[None, :, None], mesh.cell_shape
     ).copy()
-    u0 *= 1.0 + perturb * rng.standard_normal(mesh.cell_shape)
+    v0 = np.zeros(mesh.cell_shape)
+    w0 = np.zeros(mesh.cell_shape)
+    if perturb_mode == "noise":
+        # white noise on u: seeds transition at coarse resolutions
+        # (64^3: dx+ = 11, noise decay rate nu*k_grid^2 ~ 14/t-unit,
+        # transition wins) but NOT at fine ones (128^3: rate ~57 —
+        # the noise is viscously annihilated before it can grow;
+        # measured r5: E_turb 6.2 -> 5e-7 within t=0.5)
+        u0 *= 1.0 + perturb * rng.standard_normal(mesh.cell_shape)
+    elif perturb_mode == "rolls":
+        # resolution-robust transition seed: large-scale streamwise
+        # rolls (divergence-free, from a vector potential psi) +
+        # low-wavenumber streaks + small noise. Decay rate nu*k^2 ~
+        # 0.06/t-unit at these wavenumbers, so lift-up + streak
+        # breakdown have time to act at any grid (standard channel-
+        # DNS initialization practice; cf. minimal-flow-unit
+        # transition seeding, Jimenez & Moin 1991).
+        cx = mesh.centers(0)
+        cz = mesh.centers(2)
+        X = cx[:, None, None]
+        Y = cy[None, :, None]
+        Z = cz[None, None, :]
+        eta = Y / delta                       # 0..2, walls at 0/2
+        f = eta**2 * (2.0 - eta) ** 2         # f, f' vanish at walls
+        fp = 2.0 * eta * (2.0 - eta) * (2.0 - 2.0 * eta) / delta
+        beta = 2.0 * np.pi * 2.0 / L[2]       # 2 roll pairs across z
+        alpha = 2.0 * np.pi / L[0]            # x modulation (3-D)
+        s = perturb / 0.2
+        a_roll = 2.0 * utau * s
+        b_streak = 8.0 * utau * s
+        xmod = 1.0 + 0.3 * np.sin(alpha * X)
+        # psi = (a/beta) f(y) sin(beta z) * xmod:
+        #   v = d(psi)/dz, w = -d(psi)/dy  (div-free in y-z for any
+        #   x-modulation; u has no x-dependence, so div u' = 0)
+        v0 += a_roll * f * np.cos(beta * Z) * xmod
+        w0 += -(a_roll / beta) * fp * np.sin(beta * Z) * xmod
+        u0 += b_streak * f * np.cos(beta * Z + 0.7)
+        u0 *= 1.0 + 0.05 * s * rng.standard_normal(mesh.cell_shape)
+    else:
+        raise ValueError(f"unknown perturb_mode {perturb_mode!r}")
     ns.set_solution(
         v=(
             jnp.asarray(u0, dtype),
-            jnp.zeros(mesh.cell_shape, dtype),
-            jnp.zeros(mesh.cell_shape, dtype),
+            jnp.asarray(v0, dtype),
+            jnp.asarray(w0, dtype),
         ),
         U=(
             jnp.asarray(

@@ -829,7 +829,8 @@ def build_momentum_bands_3d(mesh, axbcs, rho, mu, dt):
 
 def momentum3d_raw_calls(N0, N1, N2, periodic, B0, B1, B2, dtype, *,
                          tile_slabs=8, interpret=False,
-                         force_split=False, halo=(False, False)):
+                         force_split=False, halo=(False, False),
+                         self_edges=False):
     """Bare pallas_calls for the fused 3-D momentum A-apply, shared
     by the single-device and shard_map paths.
 
@@ -1133,6 +1134,28 @@ def momentum3d_raw_calls(N0, N1, N2, periodic, B0, B1, B2, dtype, *,
                        memory_space=pltpu.VMEM)
     edge = pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    if self_edges:
+        # v up/down edge planes read DIRECTLY from the v arrays via
+        # shifted block-index maps (no host-side edge building — the
+        # r5 Poisson-kernel finding, PROBE_POISSON512.json): tile i's
+        # up edge is plane i*TM-1, wrapping to N0-1 at i=0 (correct
+        # for periodic axis 0; annihilated by the zero boundary band
+        # entries otherwise — asserted by build_momentum_apply_3d),
+        # and the down edge is plane (i+1)*TM, wrapping to 0.
+        ue_self = pl.BlockSpec(
+            (1, N1, N2),
+            lambda i: (jnp.where(i == 0, N0 - 1, i * TM - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        de_self = pl.BlockSpec(
+            (1, N1, N2),
+            lambda i: (jnp.where(i == ntiles - 1, 0, (i + 1) * TM),
+                       0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        vedge_specs = [ue_self] * 3 + [de_self] * 3
+    else:
+        vedge_specs = [edge] * 6
     fixplane = pl.BlockSpec((1, N1, N2), lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
     pa1 = pl.BlockSpec((TM, 1, N2), lambda i: (i, 0, 0),
@@ -1154,7 +1177,7 @@ def momentum3d_raw_calls(N0, N1, N2, periodic, B0, B1, B2, dtype, *,
                 [pl.BlockSpec(memory_space=pltpu.SMEM)]       # b0
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2  # b1 b2
                 + [big] * (6 + nfv)                # v + FU + FV
-                + [edge] * 6                       # v ue/de
+                + vedge_specs                      # v ue/de
                 + [fixplane] * (2 * ncomp)         # p2/m2
                 + [edge] * (1 + ncomp)             # FE0
                 + [pa1] * (1 + ncomp) + [pa2] * (1 + ncomp)
@@ -1202,10 +1225,25 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
     N0, N1, N2 = mesh.N
     per = mesh.periodic
     B0, B1, B2 = build_momentum_bands_3d(mesh, axbcs, rho, mu, dt)
+    # self-edge form safety (see momentum3d_raw_calls): on a
+    # non-periodic axis 0 the tile-0 up edge / last-tile down edge
+    # wrap to the opposite boundary plane, which is only correct if
+    # every -1-offset band entry is zero at row 0 and every +1-offset
+    # entry at row N0-1 (BC folding guarantees this; assert so a
+    # table change cannot silently corrupt the kernel).
+    if not per[0]:
+        m1_rows = [_mom3d_L(c, -1) for c in range(3)] + [
+            _mom3d_CV(var, lr, -1) for var in (0, 1) for lr in (0, 1)
+        ]
+        p1_rows = [_mom3d_L(c, 1) for c in range(3)] + [
+            _mom3d_CV(var, lr, 1) for var in (0, 1) for lr in (0, 1)
+        ]
+        assert not any(np.any(B0[r][..., 0]) for r in m1_rows)
+        assert not any(np.any(B0[r][..., N0 - 1]) for r in p1_rows)
     calls, split, TM, ntiles = momentum3d_raw_calls(
         N0, N1, N2, per, B0, B1, B2, dtype,
         tile_slabs=tile_slabs, interpret=interpret,
-        force_split=force_split,
+        force_split=force_split, self_edges=True,
     )
     band_dt = _coef_dtype(dtype)
     b0 = jnp.asarray(B0, band_dt)   # SMEM (27, N0)
@@ -1263,28 +1301,19 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
             "PA2": (pa2v[0],) + tuple(pa2v[1:]),
         }
 
-    def edges(p):
-        p4 = p.reshape(ntiles, TM, N1, N2)
-        ue = jnp.zeros((ntiles, N1, N2), dtype)
-        de = jnp.zeros((ntiles, N1, N2), dtype)
-        if ntiles > 1:
-            ue = ue.at[1:].set(p4[:-1, TM - 1])
-            de = de.at[:-1].set(p4[1:, 0])
-        if per[0]:
-            ue = ue.at[0].set(p[N0 - 1])
-            de = de.at[ntiles - 1].set(p[0])
-        return ue, de
-
     def apply(v, factors):
         v = tuple(x.astype(dtype) for x in v)
-        ue, de = zip(*(edges(x) for x in v))
+        # self-edge form: the kernels read the cross-tile edge planes
+        # directly from v via shifted block-index maps — pass the v
+        # arrays again as the ue/de operands (no host-side edge
+        # building; r5 finding, PROBE_POISSON512.json)
         p2 = tuple(x[2:3] for x in v)
         m2 = tuple(x[N0 - 3:N0 - 2] for x in v)
         if not split:
             return calls[0](
                 b0, b1, b2,
                 *v, *factors["FU"], *factors["FV"],
-                *ue, *de, *p2, *m2,
+                *v, *v, *p2, *m2,
                 *factors["FE0"], *factors["PA1"], *factors["PA2"],
             )
         outs = []
@@ -1293,7 +1322,7 @@ def build_momentum_apply_3d(mesh, axbcs, rho, mu, dt, dtype,
             (out_c,) = calls[c](
                 b0, b1, b2,
                 *v, *factors["FU"], *fv_c,
-                *ue, *de, p2[c], m2[c],
+                *v, *v, p2[c], m2[c],
                 factors["FE0"][0], factors["FE0"][1 + c],
                 factors["PA1"][0], factors["PA1"][1 + c],
                 factors["PA2"][0], factors["PA2"][1 + c],
