@@ -130,6 +130,18 @@ def main():
             print("COLLAPSED (u_tau ~ 0): solver under-resolving",
                   flush=True)
             break
+        if t >= 1.5 and E < 1e-4:
+            # fluctuation-collapse guard (r5): the transition
+            # overshoot (E ~ 40, u' ~ 9 on top of u ~ 90) can push
+            # the convective CFL past ~1.5 where fixed budgets
+            # under-resolve and the solve silently kills the
+            # fluctuations within ~500 steps — abort instead of
+            # computing laminar flow for hours (keep dt small
+            # enough that the TRANSIENT peak stays under CFL ~ 1)
+            print("COLLAPSED (E ~ 0): fluctuations killed — "
+                  "transition-peak CFL too high for the budgets?",
+                  flush=True)
+            break
 
     profs = (
         {k_: prof_acc[k_] / max(prof_n, 1) for k_ in prof_acc}
