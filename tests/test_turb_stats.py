@@ -30,14 +30,18 @@ def test_u_tau_of_laminar_profile():
         N=(16, 32, 16), dt=1e-3, max_steps=2, perturb=0.0,
         stretch_y=2.0, dtype=jnp.float64,
     )
-    E, u_tau, Umean = _stats(ns)
+    E, u_tau, profs = _stats(ns)
     assert E < 1e-20  # no fluctuations about the xz-mean
     # y1 is deep in the viscous layer on the stretched grid
     assert abs(u_tau - 1.0) < 0.02, u_tau
     # profile is the laminar parabola
     cy = np.asarray(ns.mesh.centers(1))
     exact = 90.0 * (1.0 - (cy - 1.0) ** 2)
-    np.testing.assert_allclose(Umean, exact, rtol=1e-12)
+    np.testing.assert_allclose(profs["U"], exact, rtol=1e-12)
+    # the r5 Reynolds-stress profiles: identically zero for a pure
+    # mean profile (no fluctuations to correlate)
+    for key in ("uv", "uu", "vv", "ww"):
+        assert float(np.abs(profs[key]).max()) < 1e-20, key
 
 
 def test_fluctuation_energy_of_seeded_field():
