@@ -40,6 +40,14 @@ CANDIDATES = [
     ("o3_jacobi6_s6_bf16mom", 3, "jacobi", 6, 6, "bfloat16", "mom"),
     ("o3_jacobi6_s4_bf16mom", 3, "jacobi", 6, 4, "bfloat16", "mom"),
     ("o3_gcr8_s6_bf16mom", 3, "gcr", 8, 6, "bfloat16", "mom"),
+    # r5 second sweep (after the self-edge kernel forms landed,
+    # PROBE_POISSON512 / c318564+ee4454c): outer=2 removes a whole
+    # (mom + Schur + coupled-apply) block — the quality gates decide
+    # whether the looser solve is shippable
+    ("o2_jacobi6_s6_bf16mom", 2, "jacobi", 6, 6, "bfloat16", "mom"),
+    ("o2_jacobi8_s6_bf16mom", 2, "jacobi", 8, 6, "bfloat16", "mom"),
+    ("o2_jacobi6_s8_bf16mom", 2, "jacobi", 6, 8, "bfloat16", "mom"),
+    ("o3_jacobi6_s5_bf16mom", 3, "jacobi", 6, 5, "bfloat16", "mom"),
 ]
 
 
@@ -105,6 +113,12 @@ def run_candidate(label, outer, mom_solver, m, s, pdt, scope):
 def main():
     results = []
     only = sys.argv[1] if len(sys.argv) > 1 else None
+    if only and os.path.exists("/root/repo/TUNE512.json"):
+        # filtered runs append to the committed sweep instead of
+        # clobbering it (earlier candidates stay; re-runs replace)
+        with open("/root/repo/TUNE512.json") as f:
+            results = [r for r in json.load(f)
+                       if only not in r.get("label", "")]
     for cand in CANDIDATES:
         if only and only not in cand[0]:
             continue
