@@ -28,23 +28,21 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 # Floors sit ~10% under the best committed measurement (tunnel jitter
 # margin); ratchet them when a kernel lever lands. Skipped off-TPU.
 PERF_BANDS = {
-    "roofline_frac": 0.88,             # r2: 0.938, r3: 0.918, r4: 0.917
-    # r5 ratchet (VERDICT r4 weak #7: floors sat 25%+ under the best
-    # committed numbers): floors ~10% under BENCH_r04 bests
-    "cavity2d_256_steps_per_sec": 460,  # r4: 513.5 (555 peak, STATUS)
-    "cavity3d_64_steps_per_sec": 75,    # r4: 83.7
-    # r4: fixed-trip solver forms took the production step
-    # 14.5 -> 18.0 steps/s; the bf16 ABF preconditioner -> 25.3; the
-    # GCR-outer fast path (r3's diverged richardson fixed) -> 32.7
-    "channel3d_128_steps_per_sec": 16,       # r4: 18.04
-    "channel3d_128_bf16_steps_per_sec": 22,  # r4: 25.26
-    "channel3d_128_fast_steps_per_sec": 28,  # r4: 32.71
-    "channel512_steps_per_sec": 0.9,    # r4: 1.006 (o3+bf16mom, CFL-sane dt,
-    # retention-gated; r3's 0.556 measured a collapsing flow)
-    # stencil SpMV bandwidth at the channel512 shape (VERDICT r4 item
-    # 2: 211 GB/s = 64% of the 330 GB/s per-shape copy roofline must
-    # not regress silently under the steps/s floor)
-    "channel512_spmv_gbps": 190,        # r4: 211.2
+    "roofline_frac": 0.88,             # r2-r5: 0.938/0.918/0.917/0.936
+    # r5 end-of-round ratchet: floors ~10% under the r5 measurements
+    # (scalar-sync timing + self-edge kernels; bench_r5.log)
+    "cavity2d_256_steps_per_sec": 500,  # r5: 553.0
+    "cavity3d_64_steps_per_sec": 78,    # r5: 87.3
+    "channel3d_128_steps_per_sec": 19,       # r5: 21.46
+    "channel3d_128_bf16_steps_per_sec": 25,  # r5: 28.42
+    "channel3d_128_fast_steps_per_sec": 37,  # r5: 42.16
+    # r5: o2+jac6+s8 bf16mom at full o3 solve quality (TUNE512) +
+    # scalar-sync timing: 1.006 -> 2.918 steps/s, retention-gated
+    "channel512_steps_per_sec": 2.6,
+    # stencil SpMV bandwidth at the channel512 shape: the self-edge
+    # kernel form (c318564) runs 299.6 GB/s = 0.91x the 330 GB/s
+    # per-shape copy roofline (PROBE512.json HBM cliff)
+    "channel512_spmv_gbps": 270,        # r4: 211.2, r5: 299.6
 }
 
 # Ceilings (metric must stay BELOW; same missing-metric-is-a-breach
@@ -53,6 +51,10 @@ PERF_BANDS = {
 # (VERDICT r4 weak #2/#3).
 PERF_CEILINGS = {
     "channel512_rnorm": 500.0,          # r4: 350.42 (o3+bf16mom)
+    # hardware no-regression evidence for the sharded path (VERDICT
+    # r4 missing #4a): the shard_map'd Poisson kernel on a 1x1 device
+    # grid vs the unsharded kernel, same chip/shape
+    "sharded_1x1_ratio": 1.15,
 }
 
 
@@ -191,6 +193,43 @@ def spmv_roofline(N=4096):
     }
 
 
+def sharded_1x1_ratio(N=4096):
+    """Sharded-vs-unsharded Poisson kernel time on the real chip at a
+    degenerate 1x1 device grid (VERDICT r4 missing #4a: a hardware
+    no-regression entry for the sharded path — the shard_map wrapper
+    with its ppermute edge fills must cost nothing when the grid is
+    trivial, mirroring the reference's rank-count-invariant sweeps,
+    cnlinearcart2d.c:618-622)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fluca_tpu.mesh.cart import CartMesh
+    from fluca_tpu.ns.bc import zero_velocity_bc
+    from fluca_tpu.parallel.mesh import make_device_grid
+    from fluca_tpu.parallel.pallas_sharded import build_poisson_sharded
+    from fluca_tpu.solvers.mg import PoissonMG
+
+    mesh = CartMesh.create((N, N))
+    mesh.set_uniform_coordinates(0.0, 1.0, 0.0, 1.0)
+    mg = PoissonMG(mesh, [zero_velocity_bc()] * 4, scale=1.0,
+                   dtype=jnp.float32)
+    lvl = mg.levels[0]
+    grid = make_device_grid(2, jax.devices()[:1])
+    f_sh = build_poisson_sharded(grid, lvl, mode="apply")
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((N, N)), jnp.float32
+    )
+    err = float(np.max(np.abs(np.asarray(lvl.pallas_apply(x))
+                              - np.asarray(f_sh(x)))))
+    assert err < 1e-6, f"sharded(1x1) mismatch: {err}"
+    t_un = slope_time_per_iter(lvl.pallas_apply, x, iters_lo=20,
+                               iters_hi=150)
+    t_sh = slope_time_per_iter(f_sh, x, iters_lo=20, iters_hi=150)
+    return {"ratio": t_sh / t_un, "us_unsharded": t_un * 1e6,
+            "us_sharded": t_sh * 1e6}
+
+
 def main():
     r = spmv_roofline()
     frac = r["frac"]
@@ -232,6 +271,18 @@ def main():
             extra["channel512_kernels"] = r512["kernels"]
         except Exception as e:  # pragma: no cover
             extra["channel512_error"] = f"{type(e).__name__}: {e}"
+        # sharded-path hardware no-regression entry (degenerate 1x1
+        # grid on the real chip; own try so a sharding failure is a
+        # reported gate breach, not a lost bench)
+        try:
+            import jax
+
+            if jax.devices()[0].platform == "tpu":
+                s = sharded_1x1_ratio()
+                extra["sharded_1x1_ratio"] = round(s["ratio"], 3)
+                extra["sharded_1x1_us"] = round(s["us_sharded"], 1)
+        except Exception as e:  # pragma: no cover
+            extra["sharded_1x1_error"] = f"{type(e).__name__}: {e}"
 
     print(
         json.dumps(
@@ -260,19 +311,27 @@ def main():
 
 
 def _advance_throughput(ns, steps):
-    """Warm steps/s of the scan fast path with host-sync timing."""
+    """Warm steps/s of the scan fast path with host-sync timing.
+
+    The sync fetch is a SCALAR device reduction, not a field
+    download: jnp.sum depends on the final state so float() blocks
+    until every step finished, while np.asarray(v) additionally
+    downloads a full field through the tunnel INSIDE the timed
+    window — at 512x256x256 that is 134 MB per advance() and was the
+    "10-step batches under-report ~2x" artifact (r5 measurement:
+    methodology, not device time)."""
     import time
 
-    import numpy as np
+    import jax.numpy as jnp
 
     ns.step()
     ns.advance(steps)  # compile the scan program
-    np.asarray(ns.state["v"][0])
+    float(jnp.sum(ns.state["v"][0]))
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         ns.advance(steps)
-        np.asarray(ns.state["v"][0])
+        float(jnp.sum(ns.state["v"][0]))
         best = min(best, time.time() - t0)
     return steps / best
 
@@ -384,18 +443,22 @@ def channel512_bench(steps=20):
     # (359 vs 390 at 30 steps: BiCGStab's bf16 dot products are the
     # noise source). m=6 passes the retention + rnorm gates; Schur
     # stays CG s=6 (s=4 fails the rnorm ceiling, TUNE512).
+    # r5 sweep 2 (TUNE512.json, scalar-sync timing): the o2 rnorm
+    # breach was the SCHUR budget, not the outer count — o2+jac6+s8
+    # matches o3/s6 solve quality (rnorm_30 350.0 vs 359) one whole
+    # (mom+Schur+apply) block cheaper.
     attempts = [
-        ("o3+jac6+bf16mom", 3, "jacobi", 6, "bfloat16", "mom"),
-        ("o3+bf16mom", 3, "bicgstab", 8, "bfloat16", "mom"),
-        ("o2+bf16mom", 2, "bicgstab", 8, "bfloat16", "mom"),
-        ("o2", 2, "bicgstab", 8, None, "both"),
+        ("o2+jac6s8+bf16mom", 2, "jacobi", 6, 8, "bfloat16", "mom"),
+        ("o3+jac6s6+bf16mom", 3, "jacobi", 6, 6, "bfloat16", "mom"),
+        ("o3+bf16mom", 3, "bicgstab", 8, 6, "bfloat16", "mom"),
+        ("o2", 2, "bicgstab", 8, 6, None, "both"),
     ]
     ns = None
-    for label, outer, momsol, m, pdt, scope in attempts:
+    for label, outer, momsol, m, s, pdt, scope in attempts:
         try:
             ns = setup_channel_3d(N=N, dt=DT512, max_steps=10**9,
                                   stretch_y=2.0, dtype=jnp.float32)
-            cfg = CNLinearConfig.production(outer, m, 6)
+            cfg = CNLinearConfig.production(outer, m, s)
             cfg.mom_solver = momsol
             cfg.precond_dtype = pdt
             cfg.precond_scope = scope
