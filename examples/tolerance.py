@@ -88,35 +88,86 @@ def main():
         "readback) - NOT comparable to the scan-fast-path bench "
         "numbers."), "rows": []}
 
+    # optional label filter (argv[1], comma-separated substrings):
+    # run only matching rows and merge into the existing artifact
+    only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
+    path = "/root/repo/TOLERANCE.json"
+    if only and os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        results["rows"] = [
+            r for r in prior.get("rows", [])
+            if not any(o in r.get("label", "") for o in only)
+        ]
+
+    real_run = globals()["run_config"]
+
+    def run_config(N, cfg, label, **kw):  # noqa: ANN001
+        if only and not any(o in label for o in only):
+            return {"label": label, "skipped": True}
+        return real_run(N, cfg, label, **kw)
+
     def save():
-        with open("/root/repo/TOLERANCE.json", "w") as f:
-            json.dump(results, f, indent=1)
+        rows = [r for r in results["rows"]
+                if not r.get("skipped")]
+        with open(path, "w") as f:
+            json.dump({**results, "rows": rows}, f, indent=1)
 
     N128 = (128, 128, 128)
-    DT128 = 2e-3  # the bench dt (CFL ~ 0.9 at laminar centerline)
+    # NOTE (r5 measurement): the bench's throughput dt=2e-3 is
+    # convective CFL ~ 5.8 at 128^3 (centerline u ~ 90, h_x = 4/128)
+    # — throughput is dt-independent but ACCURACY is not: at CFL 5.8
+    # the fixed budgets under-resolve and the driven flow decays
+    # (the r3 channel512 failure mode), while the rtol-1e-5 fgmres
+    # path still converges (17-26 outers) and retains the flow.
+    # Both dts are recorded: the CFL-5.8 rows document that contrast;
+    # the CFL-0.86 rows are the production-condition mapping.
+    DT128_CFL6 = 2e-3
+    DT128 = 3e-4  # CFL ~ 0.86 — a production step
 
     # -- 128^3 ---------------------------------------------------------
     cfg = CNLinearConfig()  # reference defaults: fgmres rtol 1e-5
     results["rows"].append(
-        run_config(N128, cfg, "tol1e-5_fgmres_128", dt=DT128)
+        run_config(N128, cfg, "tol1e-5_fgmres_128_cfl5.8",
+                   dt=DT128_CFL6)
     )
     save()
     results["rows"].append(run_config(
-        N128, CNLinearConfig.production(), "production_o3m8s6_128",
-        dt=DT128,
+        N128, CNLinearConfig.production(),
+        "production_o3m8s6_128_cfl5.8", dt=DT128_CFL6,
     ))
     save()
     c = CNLinearConfig.production()
     c.precond_dtype = "bfloat16"
     c.precond_scope = "mom"
     results["rows"].append(
-        run_config(N128, c, "production_o3m8s6_bf16mom_128", dt=DT128)
+        run_config(N128, c, "production_o3m8s6_bf16mom_128_cfl5.8",
+                   dt=DT128_CFL6)
     )
     save()
     results["rows"].append(run_config(
         N128, CNLinearConfig.production_fast(),
-        "production_fast_gcr_128", dt=DT128,
+        "production_fast_gcr_128_cfl5.8", dt=DT128_CFL6,
     ))
+    save()
+    # production-condition mapping (CFL ~ 0.86)
+    cfg = CNLinearConfig()
+    results["rows"].append(
+        run_config(N128, cfg, "tol1e-5_fgmres_128_cfl0.86", dt=DT128)
+    )
+    save()
+    results["rows"].append(run_config(
+        N128, CNLinearConfig.production(),
+        "production_o3m8s6_128_cfl0.86", dt=DT128,
+    ))
+    save()
+    c = CNLinearConfig.production()
+    c.precond_dtype = "bfloat16"
+    c.precond_scope = "mom"
+    results["rows"].append(
+        run_config(N128, c, "production_o3m8s6_bf16mom_128_cfl0.86",
+                   dt=DT128)
+    )
     save()
 
     # -- 512x256x256 (BASELINE #5 shape) ------------------------------
@@ -152,6 +203,45 @@ def main():
     c.precond_scope = "mom"
     results["rows"].append(run_config(
         N512, c, "production_o3m8s6_bf16mom_512", dt=DT512,
+    ))
+    save()
+    # reference-tolerance contract AT the 512 shape without Krylov
+    # basis memory (the fgmres row above OOMs: a stacked
+    # [restart+1, 235M] basis sublane-pads ~1.6-2.7x, krylov.py:490
+    # — 7 GB for 5 vectors): Richardson outer = x += M(b - Ax) with
+    # the ABF preconditioner, ZERO basis buffers. A fixed budget
+    # whose achieved rtol lands under 1e-5 every step meets the
+    # contract (nssol.c:22-25 is a stopping criterion, not a method).
+    c = CNLinearConfig.production(8, 6, 8)
+    c.mom_solver = "jacobi"
+    c.outer_type = "richardson"
+    c.precond_dtype = "bfloat16"
+    c.precond_scope = "mom"
+    results["rows"].append(run_config(
+        N512, c, "tolcontract_richardson_o8jac6s8_bf16mom_512",
+        dt=DT512,
+    ))
+    save()
+    # o8 plateaus at 2.2e-5 (contraction ~0.26/iter); two more
+    # iterations land the per-step plateau under the 1e-5 contract
+    c = CNLinearConfig.production(10, 6, 8)
+    c.mom_solver = "jacobi"
+    c.outer_type = "richardson"
+    c.precond_dtype = "bfloat16"
+    c.precond_scope = "mom"
+    results["rows"].append(run_config(
+        N512, c, "tolcontract_richardson_o10jac6s8_bf16mom_512",
+        dt=DT512,
+    ))
+    save()
+    # the r5 shipped bench config (TUNE512 winner): its effective
+    # per-step rtol is the accuracy contract the 2.9 steps/s carries
+    c = CNLinearConfig.production(2, 6, 8)
+    c.mom_solver = "jacobi"
+    c.precond_dtype = "bfloat16"
+    c.precond_scope = "mom"
+    results["rows"].append(run_config(
+        N512, c, "production_o2jac6s8_bf16mom_512", dt=DT512,
     ))
     save()
 
